@@ -1,0 +1,487 @@
+"""SD2-inpainting UNet as Flax modules (NHWC, TPU-native).
+
+Behavioural reference:
+- UNetModel / ResBlock / Up/Downsample: /root/reference/ldm/modules/diffusionmodules/openaimodel.py:90-787
+- SpatialTransformer / BasicTransformerBlock / CrossAttention / GEGLU:
+  /root/reference/ldm/modules/attention.py:51-419
+
+Design notes (TPU-first, not a translation):
+- spatial tensors are NHWC; convs use explicit torch-compatible padding,
+- params are stored fp32; compute dtype is a module field (bf16 on TPU),
+- GroupNorm + attention softmax are fp32 islands (matching the reference's
+  GroupNorm32 + ATTN_PRECISION=fp32 autocast islands),
+- attention dispatches to a Pallas flash kernel on TPU (ops/attention.py),
+- module/parameter naming mirrors the torch checkpoint key structure
+  (``input_blocks.1.0.in_layers.2.weight`` -> params['input_blocks_1_0']
+  ['in_layers_2']['kernel']) so the weight converter is a mechanical map,
+- gradient checkpointing (reference CheckpointFunction) is `jax.checkpoint`
+  via nn.remat, enabled by the ``remat`` field for the training path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from leftrefill_tpu.ops.attention import multi_head_attention
+from leftrefill_tpu.ops.layers import (
+    GroupNorm32,
+    avg_pool_2x,
+    nearest_upsample_2x,
+    timestep_embedding,
+)
+
+Dtype = Any
+PAD1 = ((1, 1), (1, 1))
+
+
+def conv3x3(features: int, *, strides: int = 1, zero: bool = False, dtype: Dtype, name: str | None = None) -> nn.Conv:
+    return nn.Conv(
+        features,
+        kernel_size=(3, 3),
+        strides=(strides, strides),
+        padding=PAD1,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+def conv1x1(features: int, *, zero: bool = False, dtype: Dtype, name: str | None = None) -> nn.Conv:
+    return nn.Conv(
+        features,
+        kernel_size=(1, 1),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+def dense(features: int, *, use_bias: bool = True, zero: bool = False, dtype: Dtype, name: str | None = None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+        name=name,
+    )
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32 (torch autocast behaviour), output cast back."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32)(x)
+        return y.astype(x.dtype)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 + optional 3x3 conv (openaimodel.py:90-118)."""
+
+    channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nearest_upsample_2x(x)
+        if self.use_conv:
+            x = conv3x3(self.channels, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv, torch padding=1 (openaimodel.py:133-159)."""
+
+    channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            return conv3x3(self.channels, strides=2, dtype=self.dtype, name="op")(x)
+        return avg_pool_2x(x)
+
+
+class ResBlock(nn.Module):
+    """Timestep-conditioned residual block (openaimodel.py:162-274)."""
+
+    out_channels: int
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = GroupNorm32(32, eps=1e-5, name="in_layers_0")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = nearest_upsample_2x(h)
+            x = nearest_upsample_2x(x)
+        elif self.down:
+            h = avg_pool_2x(h)
+            x = avg_pool_2x(x)
+        h = conv3x3(self.out_channels, dtype=self.dtype, name="in_layers_2")(h)
+
+        emb_out = dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype,
+            name="emb_layers_1",
+        )(nn.silu(emb)).astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(32, eps=1e-5, name="out_layers_0")(h)
+            h = h * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
+        else:
+            h = h + emb_out[:, None, None, :]
+            h = GroupNorm32(32, eps=1e-5, name="out_layers_0")(h)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_layers_3")(h)
+
+        if self.out_channels == in_ch:
+            skip = x
+        else:
+            skip = conv1x1(self.out_channels, dtype=self.dtype, name="skip_connection")(x)
+        return skip + h
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU feed-forward (attention.py:51-78): Linear(dim, 2*inner) split into
+    value*gelu(gate), then Linear(inner, dim).  Param names mirror torch
+    ff.net.0.proj / ff.net.2."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        xg = dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        val, gate = jnp.split(xg, 2, axis=-1)
+        # torch F.gelu is the exact erf gelu
+        x = val * nn.gelu(gate.astype(jnp.float32), approximate=False).astype(val.dtype)
+        return dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class CrossAttention(nn.Module):
+    """Projection + multi-head attention (attention.py:147-250).  The actual
+    attention math is in ops/attention.py (fp32 softmax; Pallas flash on TPU)."""
+
+    heads: int
+    dim_head: int
+    query_dim: int
+    context_dim: Optional[int] = None  # None => self-attention
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        out = multi_head_attention(q, k, v, self.heads)
+        return dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn -> cross-attn(context) -> GEGLU FF, prenorm+residual
+    (attention.py:253-283).  ``self_attend`` is factored out so the multi-view
+    block can override the token grouping of the self-attention."""
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: int
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.attn1 = CrossAttention(
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            query_dim=self.dim,
+            context_dim=self.context_dim if self.disable_self_attn else None,
+            dtype=self.dtype,
+            name="attn1",
+        )
+        self.attn2 = CrossAttention(
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            query_dim=self.dim,
+            context_dim=self.context_dim,
+            dtype=self.dtype,
+            name="attn2",
+        )
+        self.ff = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")
+        self.norm1 = LayerNormF32(name="norm1")
+        self.norm2 = LayerNormF32(name="norm2")
+        self.norm3 = LayerNormF32(name="norm3")
+
+    def self_attend(self, x_norm: jax.Array, context: Optional[jax.Array]) -> jax.Array:
+        return self.attn1(x_norm, context if self.disable_self_attn else None)
+
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        x = self.self_attend(self.norm1(x), context) + x
+        x = self.attn2(self.norm2(x), context) + x
+        x = self.ff(self.norm3(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> proj_in -> transformer blocks -> zero-init proj_out,
+    residual (attention.py:331-419).  ``use_linear`` follows the SD2 configs
+    (use_linear_in_transformer: True)."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: int = 1024
+    use_linear: bool = True
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+    block_cls: type = BasicTransformerBlock
+    block_kwargs: dict = None  # extra fields for block_cls (multi-view)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, **kwargs) -> jax.Array:
+        b, h, w, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        x = GroupNorm32(32, eps=1e-6, name="norm")(x)
+        if not self.use_linear:
+            x = conv1x1(inner, dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, x.shape[-1])
+        if self.use_linear:
+            x = dense(inner, dtype=self.dtype, name="proj_in")(x)
+        extra = dict(self.block_kwargs or {})
+        for i in range(self.depth):
+            x = self.block_cls(
+                dim=inner,
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                context_dim=self.context_dim,
+                disable_self_attn=self.disable_self_attn,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+                **extra,
+            )(x, context, **kwargs)
+        if self.use_linear:
+            x = dense(self.in_channels, zero=True, dtype=self.dtype, name="proj_out")(x)
+        x = x.reshape(b, h, w, x.shape[-1])
+        if not self.use_linear:
+            x = conv1x1(self.in_channels, zero=True, dtype=self.dtype, name="proj_out")(x)
+        return x + x_in
+
+
+class UNetModel(nn.Module):
+    """The SD2-inpainting UNet (openaimodel.py:412-787).
+
+    Config for LeftRefill ref-inpainting (configs/ref_inpainting.yaml:20-36):
+    in 9ch -> out 4ch, model_channels 320, ch_mult (1,2,4,4), 2 res blocks per
+    level, spatial transformers at ds 1/2/4, depth 1, context 1024,
+    head_dim 64, linear projections. 16 cross-attention layers total.
+
+    __call__(x, timesteps, context) with x: [B, H, W, in_channels] NHWC.
+    """
+
+    in_channels: int = 9
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: Any = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    conv_resample: bool = True
+    num_heads: int = -1
+    num_head_channels: int = 64
+    use_spatial_transformer: bool = True
+    transformer_depth: int = 1
+    context_dim: int = 1024
+    use_linear_in_transformer: bool = True
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    dropout: float = 0.0  # 0 in every LeftRefill config; inference is deterministic
+    dtype: Dtype = jnp.float32
+    remat: bool = False  # jax.checkpoint on blocks (training path)
+    block_cls: type = BasicTransformerBlock
+    block_kwargs: dict = None
+
+    def _num_res_blocks(self) -> list[int]:
+        if isinstance(self.num_res_blocks, int):
+            return [self.num_res_blocks] * len(self.channel_mult)
+        return list(self.num_res_blocks)
+
+    def _heads_dims(self, ch: int) -> tuple[int, int]:
+        if self.num_head_channels == -1:
+            return self.num_heads, ch // self.num_heads
+        return ch // self.num_head_channels, self.num_head_channels
+
+    def setup(self):
+        time_embed_dim = self.model_channels * 4
+        self.time_embed_0 = dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")
+        self.time_embed_2 = dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")
+
+        res_cls = nn.remat(ResBlock) if self.remat else ResBlock
+        st_cls = nn.remat(SpatialTransformer, static_argnums=()) if self.remat else SpatialTransformer
+
+        def make_st(ch: int, name: str) -> SpatialTransformer:
+            heads, dim_head = self._heads_dims(ch)
+            return st_cls(
+                in_channels=ch,
+                n_heads=heads,
+                d_head=dim_head,
+                depth=self.transformer_depth,
+                context_dim=self.context_dim,
+                use_linear=self.use_linear_in_transformer,
+                dtype=self.dtype,
+                block_cls=self.block_cls,
+                block_kwargs=self.block_kwargs,
+                name=name,
+            )
+
+        nrb = self._num_res_blocks()
+        # --- input blocks ---------------------------------------------------
+        input_blocks: list[list] = [
+            [conv3x3(self.model_channels, dtype=self.dtype, name="input_blocks_0_0")]
+        ]
+        input_block_chans = [self.model_channels]
+        ch = self.model_channels
+        ds = 1
+        idx = 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(nrb[level]):
+                layers = [
+                    res_cls(
+                        out_channels=mult * self.model_channels,
+                        use_scale_shift_norm=self.use_scale_shift_norm,
+                        dtype=self.dtype,
+                        name=f"input_blocks_{idx}_0",
+                    )
+                ]
+                ch = mult * self.model_channels
+                if ds in self.attention_resolutions:
+                    layers.append(make_st(ch, f"input_blocks_{idx}_1"))
+                input_blocks.append(layers)
+                input_block_chans.append(ch)
+                idx += 1
+            if level != len(self.channel_mult) - 1:
+                input_blocks.append(
+                    [
+                        Downsample(
+                            ch,
+                            use_conv=self.conv_resample,
+                            dtype=self.dtype,
+                            name=f"input_blocks_{idx}_0",
+                        )
+                    ]
+                )
+                input_block_chans.append(ch)
+                ds *= 2
+                idx += 1
+        self.input_blocks = input_blocks
+        self.input_block_chans = input_block_chans
+
+        # --- middle ---------------------------------------------------------
+        self.middle_block = [
+            res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0"),
+            make_st(ch, "middle_block_1"),
+            res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2"),
+        ]
+
+        # --- output blocks --------------------------------------------------
+        output_blocks: list[list] = []
+        chans = list(self.input_block_chans)
+        oidx = 0
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(nrb[level] + 1):
+                chans.pop()
+                layers = [
+                    res_cls(
+                        out_channels=self.model_channels * mult,
+                        use_scale_shift_norm=self.use_scale_shift_norm,
+                        dtype=self.dtype,
+                        name=f"output_blocks_{oidx}_0",
+                    )
+                ]
+                ch = self.model_channels * mult
+                li = 1
+                if ds in self.attention_resolutions:
+                    layers.append(make_st(ch, f"output_blocks_{oidx}_{li}"))
+                    li += 1
+                if level and i == nrb[level]:
+                    layers.append(
+                        Upsample(
+                            ch,
+                            use_conv=self.conv_resample,
+                            dtype=self.dtype,
+                            name=f"output_blocks_{oidx}_{li}",
+                        )
+                    )
+                    ds //= 2
+                output_blocks.append(layers)
+                oidx += 1
+        self.output_blocks = output_blocks
+
+        self.out_0 = GroupNorm32(32, eps=1e-5, name="out_0")
+        self.out_2 = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_2")
+
+    def _apply_seq(self, layers, h, emb, context, **kwargs):
+        for layer in layers:
+            if isinstance(layer, ResBlock) or (
+                hasattr(layer, "inner_fn") and getattr(layer, "__name__", "") == "ResBlock"
+            ):
+                h = layer(h, emb)
+            elif isinstance(layer, SpatialTransformer):
+                h = layer(h, context, **kwargs)
+            elif isinstance(layer, (Upsample, Downsample)):
+                h = layer(h)
+            elif isinstance(layer, nn.Conv):
+                h = layer(h)
+            else:  # remat-wrapped classes keep their call signature
+                try:
+                    h = layer(h, emb)
+                except TypeError:
+                    h = layer(h, context, **kwargs)
+        return h
+
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        context: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> jax.Array:
+        t_emb = timestep_embedding(timesteps, self.model_channels, dtype=self.dtype)
+        emb = self.time_embed_2(nn.silu(self.time_embed_0(t_emb)))
+
+        h = x.astype(self.dtype)
+        if context is not None:
+            context = context.astype(self.dtype)
+        hs = []
+        for layers in self.input_blocks:
+            h = self._apply_seq(layers, h, emb, context, **kwargs)
+            hs.append(h)
+        h = self._apply_seq(self.middle_block, h, emb, context, **kwargs)
+        for layers in self.output_blocks:
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = self._apply_seq(layers, h, emb, context, **kwargs)
+        h = h.astype(x.dtype)
+        h = nn.silu(self.out_0(h))
+        return self.out_2(h).astype(x.dtype)

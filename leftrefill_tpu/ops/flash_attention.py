@@ -1,0 +1,108 @@
+"""Pallas TPU flash-attention kernel for the stitched-canvas self-attention.
+
+TPU-native replacement for the reference's xformers
+``memory_efficient_attention`` CUDA kernel (attention.py:236).  The LeftRefill
+self-attention shapes are bounded and lane-friendly: the 64x128 stitched
+latent gives sequences {8192, 2048, 512} at head_dim 64, and multi-view joint
+self-attention peaks at 4*4096 = 16384 tokens — small enough that each head's
+full K/V tile fits comfortably in VMEM.  The kernel therefore blocks only the
+query dimension and keeps K/V resident across the query grid (their BlockSpec
+index is constant in the q-block coordinate, so Mosaic does not re-DMA them),
+computing an exact fp32 softmax per q-block.  This is the fastest shape for
+this size class: no online-softmax rescale passes, one MXU matmul pair per
+q-block.
+
+Backward: a custom VJP recomputes attention with the plain-XLA path and lets
+XLA differentiate it (flash-recompute).  Training memory is bounded by remat;
+the Pallas kernel is the inference hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [blk_q, D]
+    k = k_ref[0]  # [Nk, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q,
+        k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    blk_q = min(DEFAULT_BLOCK_Q, nq)
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+
+    grid = (b * h, nq // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + b * h * nq * d) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, d)
+
+
+def _xla_reference(q, k, v, scale):
+    s = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Exact attention, fp32 softmax. q/k/v: [B, H, N, D]; Nq, Nk must be
+    multiples of the q block / lane tiling (callers guarantee this; the
+    dispatcher in ops/attention.py falls back to XLA otherwise)."""
+    return _flash_forward(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,119 @@
+"""Low-level TPU-friendly layer ops shared by all models.
+
+Behavioural references:
+- GroupNorm32 (fp32 compute island): /root/reference/ldm/modules/diffusionmodules/util.py:217-219
+- timestep_embedding (cos-first): /root/reference/ldm/modules/diffusionmodules/util.py:154-174
+- VAE sinusoidal embedding (sin-first): /root/reference/ldm/modules/diffusionmodules/model.py:21-39
+- nearest x2 up / stride-2 down: openaimodel.py:90-159, model.py:51-88
+
+All spatial tensors are NHWC (TPU-native); the reference is NCHW.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(
+    timesteps: jax.Array, dim: int, max_period: int = 10000, dtype: Dtype = jnp.float32
+) -> jax.Array:
+    """Sinusoidal timestep embedding, **cos-first** concat ([cos, sin]) like the
+    UNet's embedding (diffusionmodules/util.py:163-171).  fp32 math."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb.astype(dtype)
+
+
+def vae_timestep_embedding(timesteps: jax.Array, embedding_dim: int) -> jax.Array:
+    """DDPM-style sinusoidal embedding, **sin-first**, denominator (half-1)
+    (diffusionmodules/model.py:21-39).  Unused by frozen LeftRefill VAE
+    (temb_ch=0) but kept for parity of the block API."""
+    half_dim = embedding_dim // 2
+    emb = math.log(10000) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with a forced fp32 compute island.
+
+    The reference keeps GroupNorm in fp32 under fp16 autocast
+    (GroupNorm32, diffusionmodules/util.py:217-219); on TPU we do the same
+    under bf16: upcast input to fp32, normalize, cast back.
+
+    ``eps`` differs between call sites in the reference: the UNet uses the
+    torch default 1e-5 (normalization(), util.py:202-208), the VAE/attention
+    Normalize uses 1e-6 (attention.py:90-91, model.py:47-48).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+
+        x32 = x.astype(jnp.float32)
+        g = self.num_groups
+        spatial = x32.shape[1:-1]
+        xg = x32.reshape(x32.shape[0], *spatial, g, c // g)
+        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+        var = jnp.var(xg, axis=red_axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = xg.reshape(x32.shape)
+        x32 = x32 * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return x32.astype(orig_dtype)
+
+
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample on NHWC == repeat each pixel twice per
+    spatial dim (exactly F.interpolate(scale_factor=2, mode='nearest'))."""
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 average pool on NHWC."""
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def zero_init() -> nn.initializers.Initializer:
+    """Initializer for reference modules wrapped in zero_module()
+    (diffusionmodules/util.py:177-183)."""
+    return nn.initializers.zeros
+
+
+def nearest_resize(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Nearest resize on NHWC matching torch F.interpolate(mode='nearest')
+    semantics (floor of the source index scaled by in/out ratio).
+
+    Used for the mask ↓8 in LatentInpaintDiffusion.get_input (ddpm.py:1678-1683).
+    """
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    rows = jnp.floor(jnp.arange(oh, dtype=jnp.float32) * (h / oh)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(ow, dtype=jnp.float32) * (w / ow)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]

@@ -1,0 +1,91 @@
+"""Shape/structure tests for the UNet (reference: openaimodel.py:412-787)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leftrefill_tpu.models.unet import UNetModel
+
+TINY = dict(
+    in_channels=9,
+    model_channels=32,
+    out_channels=4,
+    num_res_blocks=1,
+    attention_resolutions=(1, 2),
+    channel_mult=(1, 2),
+    num_head_channels=8,
+    context_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    model = UNetModel(**TINY)
+    x = jnp.zeros((2, 16, 32, 9))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.zeros((2, 7, 16))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, ctx)
+    return model, params
+
+
+def test_unet_output_shape(tiny_unet):
+    model, params = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 9))
+    t = jnp.array([10, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 16))
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 16, 32, 4)
+    assert jnp.isfinite(out).all()
+
+
+def test_unet_param_structure(tiny_unet):
+    _, params = tiny_unet
+    p = params["params"]
+    # torch-key-mirroring names
+    assert "input_blocks_0_0" in p  # stem conv
+    assert "time_embed_0" in p and "time_embed_2" in p
+    assert "middle_block_0" in p and "middle_block_1" in p and "middle_block_2" in p
+    assert "out_0" in p and "out_2" in p
+    # ResBlock internals
+    rb = p["input_blocks_1_0"]
+    for k in ("in_layers_0", "in_layers_2", "emb_layers_1", "out_layers_0", "out_layers_3"):
+        assert k in rb, rb.keys()
+    # SpatialTransformer internals
+    st = p["input_blocks_1_1"]
+    for k in ("norm", "proj_in", "proj_out", "transformer_blocks_0"):
+        assert k in st, st.keys()
+    tb = st["transformer_blocks_0"]
+    for k in ("attn1", "attn2", "ff", "norm1", "norm2", "norm3"):
+        assert k in tb
+    assert "to_q" in tb["attn1"] and "to_out_0" in tb["attn2"]
+    # zero-init modules produce zero output paths at init
+    assert np.all(np.asarray(p["out_2"]["kernel"]) == 0)
+    assert np.all(np.asarray(st["proj_out"]["kernel"]) == 0)
+
+
+def test_unet_zero_init_output_is_zero(tiny_unet):
+    """At init, the final conv is zero-init => output must be exactly 0
+    (zero_module semantics, diffusionmodules/util.py:177-183)."""
+    model, params = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 32, 9))
+    out = model.apply(params, x, jnp.array([3]), jnp.zeros((1, 7, 16)))
+    assert np.allclose(np.asarray(out), 0)
+
+
+def test_unet_sd2_structure_block_count():
+    """Full SD2 config: 16 cross-attn layers (configs/ref_inpainting.yaml:69),
+    checked by counting SpatialTransformer param groups, without init of 865M
+    params (structure only via eval_shape)."""
+    model = UNetModel()  # defaults = SD2-inpainting config
+    x = jnp.zeros((1, 64, 128, 9))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 1024))
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, t, ctx))
+    p = shapes["params"]
+    st_blocks = [k for k, v in p.items() if isinstance(v, dict) and "transformer_blocks_0" in v]
+    assert len(st_blocks) == 16
+
+    # 9-channel input stem
+    assert p["input_blocks_0_0"]["kernel"].shape == (3, 3, 9, 320)
+    assert p["out_2"]["kernel"].shape == (3, 3, 320, 4)
