@@ -1,0 +1,103 @@
+"""Benchmark: stitched 512x1024 ref-inpainting canvases/sec at 50-step DDIM,
+cfg 2.5, on one TPU chip (BASELINE.md north-star metric; eval protocol from
+/root/reference/README.md:106-113 — 50 steps, cfg 2.5, eta 1.0, batch 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the BASELINE.json north-star target of 2.0
+canvases/sec/chip (the reference publishes no hardware numbers).
+
+Weights are random (the SD2 checkpoint is not present in this environment);
+throughput depends only on the compute graph, which matches the real one.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_full_bundle(dtype=jnp.bfloat16):
+    from leftrefill_tpu.diffusion.core import LeftRefillModel
+    from leftrefill_tpu.diffusion.schedules import DiffusionSchedule
+    from leftrefill_tpu.models.autoencoder import AutoencoderKL, DDConfig
+    from leftrefill_tpu.models.clip import PromptCLIPEmbedder
+    from leftrefill_tpu.models.unet import UNetModel
+
+    unet = UNetModel(dtype=dtype)  # SD2-inpainting defaults (865M)
+    vae = AutoencoderKL(ddconfig=DDConfig(), embed_dim=4, dtype=dtype)
+    clip = PromptCLIPEmbedder(dtype=dtype)  # ViT-H text (354M)
+    schedule = DiffusionSchedule.create(
+        timesteps=1000, beta_schedule="linear", linear_start=0.00085, linear_end=0.0120
+    )
+    model = LeftRefillModel(unet=unet, vae=vae, cond_model=clip, schedule=schedule)
+
+    k = jax.random.PRNGKey(0)
+    params = {
+        "unet": jax.jit(unet.init)(
+            k, jnp.zeros((1, 64, 128, 9)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024))
+        )["params"],
+        "vae": jax.jit(vae.init)(k, jnp.zeros((1, 64, 128, 3)))["params"],
+        "cond": jax.jit(clip.init)(k, jnp.zeros((1, 77), jnp.int32))["params"],
+    }
+    return model, params
+
+
+def main():
+    from leftrefill_tpu.models.clip import build_prompt_tokenizer
+    from leftrefill_tpu.pipeline import RefInpaintPipeline, stitch_canvas
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    model, params = build_full_bundle()
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tok, sp, _ = build_prompt_tokenizer(["repeat_50_<special-token>"], ["init"])
+    pipe = RefInpaintPipeline(
+        model=model, params=params, tokenizer=tok, special_tokens=sp,
+        ddim_steps=steps, guidance_scale=2.5, eta=1.0,
+    )
+
+    rng = np.random.RandomState(0)
+    ref = rng.uniform(-1, 1, (batch, 512, 512, 3)).astype(np.float32)
+    src = rng.uniform(-1, 1, (batch, 512, 512, 3)).astype(np.float32)
+    image, mask = stitch_canvas(ref, src, np.ones((batch, 512, 512, 1), np.float32))
+
+    # compile + warmup (2 calls: the first runs compile, the second warms the
+    # execution path).  NOTE: block_until_ready() does not reliably block
+    # through the axon TPU relay on this host — materialize with np.asarray.
+    np.asarray(pipe(image, mask, jax.random.PRNGKey(0)))
+    np.asarray(pipe(image, mask, jax.random.PRNGKey(1)))
+
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        np.asarray(pipe(image, mask, jax.random.PRNGKey(2 + i)))
+        times.append(time.time() - t0)
+    dt = min(times)  # best-of: excludes host jitter on the tunnel
+    canvases_per_sec = batch / dt
+
+    target = 2.0  # BASELINE.json north star: >=2 canvases/sec/chip
+    print(
+        json.dumps(
+            {
+                "metric": f"canvases_per_sec_512x1024_{steps}step_cfg2.5_b{batch}",
+                "value": round(canvases_per_sec, 4),
+                "unit": "canvases/sec/chip",
+                "vs_baseline": round(canvases_per_sec / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""Prompt-tuning training: optimizer masking, jitted/data-parallel train step.
+
+Behavioural reference:
+- AdamW over *only* ``cond_stage_model.special_embeddings`` with optional
+  cosine schedule: /root/reference/inpainting_ldm/ref_inpainting_ldm.py:83-96
+- training loop semantics (t ~ U[0,1000), p_losses on latents):
+  /root/reference/ldm/models/diffusion/ddpm.py:854-935
+- released training config: batch 8/device, grad-accum 2, AdamW lr 3e-5
+  wd 0.01, fp16 -> here bf16 (no loss scaling needed on TPU):
+  check_points/ref_guided_inpainting/training_config.yaml
+
+TPU design: the step is one jitted function over a ``Mesh(('data',))`` with
+the batch sharded and parameters replicated; XLA emits the grad psum (the
+NCCL-DDP equivalent).  Only the 50x1024 special-embedding table gets
+optimizer state; every frozen parameter is masked out with
+``optax.set_to_zero`` so optimizer memory is ~0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from leftrefill_tpu.diffusion.core import Conditioning, LeftRefillModel
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 3e-5
+    weight_decay: float = 0.01
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    use_cosine: bool = False
+    cosine_decay_steps: int = 10000
+    cosine_alpha: float = 0.0
+    accumulate_grad_batches: int = 1
+
+
+def trainable_mask(params: Params, predicate: Callable[[tuple], bool]):
+    """Boolean pytree: True where predicate(path-key-names) holds."""
+
+    def check(path):
+        keys = tuple(
+            k.key if hasattr(k, "key") else getattr(k, "name", str(k)) for k in path
+        )
+        return predicate(keys)
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: check(p), params)
+
+
+def prompt_only_predicate(path_keys: tuple) -> bool:
+    """Train only the special-embeddings table (ref_inpainting_ldm.py:83-96).
+    NVS extends this with lora/sep/refinement groups (NVS_ldm.py:314-345)."""
+    return "special_embeddings" in path_keys
+
+
+def make_optimizer(config: OptimizerConfig, mask) -> optax.GradientTransformation:
+    if config.use_cosine:
+        schedule = optax.cosine_decay_schedule(
+            init_value=config.lr,
+            decay_steps=config.cosine_decay_steps,
+            alpha=config.cosine_alpha,
+        )
+    else:
+        schedule = config.lr
+    adamw = optax.adamw(
+        learning_rate=schedule,
+        b1=config.b1,
+        b2=config.b2,
+        eps=config.eps,
+        weight_decay=config.weight_decay,
+    )
+    tx = optax.multi_transform(
+        {"train": adamw, "frozen": optax.set_to_zero()},
+        jax.tree_util.tree_map(lambda m: "train" if m else "frozen", mask),
+    )
+    if config.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=config.accumulate_grad_batches)
+    return tx
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, ch: TrainState(*ch),
+)
+
+
+def create_train_state(
+    params: Params,
+    config: OptimizerConfig = OptimizerConfig(),
+    predicate: Callable[[tuple], bool] = prompt_only_predicate,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    mask = trainable_mask(params, predicate)
+    tx = make_optimizer(config, mask)
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), tx
+
+
+def compute_loss(
+    model: LeftRefillModel,
+    params: Params,
+    batch: dict,
+    key: jax.Array,
+    view_reduced: bool = False,
+    view_num: int = 1,
+) -> tuple[jax.Array, dict]:
+    """One forward loss (shared_step semantics, ddpm.py:849-863, 900-935).
+
+    batch: image [B,H,W,C] in [-1,1], mask [B,H,W,1] (1=hole),
+    masked_image [B,H,W,C], tokens [B,77] int32.
+    ``view_reduced``: multi-view mode — per-view loss reshaped (b v) and only
+    view 0 (the target) kept (multiview_ref_inpainting_ldm.py:38-91).
+    """
+    t_key, n_key = jax.random.split(key)
+    z = model.encode_first_stage(params, batch["image"])
+    cond = model.build_inpaint_cond(
+        params, batch["tokens"], batch["mask"], batch["masked_image"]
+    )
+    b = z.shape[0]
+    t = jax.random.randint(t_key, (b,), 0, model.schedule.num_timesteps)
+    noise = jax.random.normal(n_key, z.shape, z.dtype)
+    if not view_reduced:
+        return model.p_losses(params, z, cond, t, noise)
+    err = model.p_losses(params, z, cond, t, noise, per_element=True)
+    err = err.reshape(b // view_num, view_num, *err.shape[1:])
+    loss_simple = err[:, 0].mean(axis=(1, 2, 3))  # target view only
+    loss = loss_simple.mean()
+    return loss, {"loss_simple": loss, "loss": loss}
+
+
+def make_train_step(
+    model: LeftRefillModel,
+    tx: optax.GradientTransformation,
+    view_reduced: bool = False,
+    view_num: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted train step.  Under a Mesh with the batch sharded over
+    'data' and params replicated, jit emits the grad all-reduce."""
+
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        def loss_fn(p):
+            return compute_loss(
+                model, p, batch, key, view_reduced=view_reduced, view_num=view_num
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
