@@ -59,7 +59,7 @@ def _flash_qualifies(q: jax.Array, k: jax.Array) -> bool:
         and d in (64, 128)
         and nq >= 256
         and nk >= 256
-        and nq % 256 == 0
+        and nq % 128 == 0
         and nk % 128 == 0
     )
 

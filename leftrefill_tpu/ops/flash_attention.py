@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
+# 128 keeps the fp32 score tile (blk_q x Nk) at <=4MB for Nk=8192 so q/k/v
+# tiles + scores + probs fit the ~16MB VMEM budget even at batch 16.
+DEFAULT_BLOCK_Q = 128
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):

@@ -1,0 +1,95 @@
+"""Metric tests (reference protocol: test_inpainting.py:147-166)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leftrefill_tpu.eval.lpips import LPIPS, load_lpips_weights
+from leftrefill_tpu.eval.metrics import (
+    composite_metrics,
+    psnr,
+    rgb_to_grayscale,
+    ssim,
+)
+
+
+def test_psnr_closed_form():
+    t = jnp.zeros((2, 8, 8, 3))
+    p = t + 0.1
+    val = np.asarray(jax.jit(psnr)(p, t))
+    assert np.allclose(val, 20.0, atol=1e-4)  # 10*log10(1/0.01)
+
+
+def _ssim_numpy(x, y, data_range=2.0, win=7, k1=0.01, k2=0.03):
+    """Independent numpy re-derivation of skimage's uniform-filter SSIM."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def uf(a):
+        return sliding_window_view(a, (win, win)).mean(axis=(-1, -2))
+
+    npx = win * win
+    cov_norm = npx / (npx - 1)
+    ux, uy = uf(x), uf(y)
+    vx = cov_norm * (uf(x * x) - ux**2)
+    vy = cov_norm * (uf(y * y) - uy**2)
+    vxy = cov_norm * (uf(x * y) - ux * uy)
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    return s.mean()
+
+
+def test_ssim_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    x = rng.rand(12, 16).astype(np.float32)
+    y = np.clip(x + rng.randn(12, 16).astype(np.float32) * 0.1, 0, 1)
+    jssim = jax.jit(ssim)
+    ours = float(np.asarray(jssim(jnp.asarray(x)[None], jnp.asarray(y)[None]))[0])
+    ref = _ssim_numpy(x.astype(np.float64), y.astype(np.float64))
+    assert abs(ours - ref) < 1e-4
+    # identical -> 1
+    same = float(np.asarray(jssim(jnp.asarray(x)[None], jnp.asarray(x)[None]))[0])
+    assert abs(same - 1.0) < 1e-6
+
+
+def test_grayscale_weights():
+    x = jnp.ones((1, 2, 2, 3)) * jnp.array([1.0, 0.0, 0.0])
+    assert np.allclose(np.asarray(rgb_to_grayscale(x)), 0.299)
+
+
+def test_composite_metrics_protocol():
+    rng = np.random.RandomState(1)
+    origin = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 3)).astype(np.float32))
+    pred = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 3)).astype(np.float32))
+    mask = jnp.concatenate([jnp.zeros((1, 16, 16, 1)), jnp.ones((1, 16, 16, 1))], axis=2)
+    jcm = jax.jit(composite_metrics)
+    m = jcm(pred, origin, mask)
+    # composite crops to the right half
+    assert m["composite"].shape == (1, 16, 16, 3)
+    # perfect prediction -> infinite-ish psnr, ssim 1
+    m2 = jcm(origin, origin, mask)
+    assert float(m2["psnr"][0]) > 100
+    assert abs(float(m2["ssim"][0]) - 1.0) < 1e-6
+
+
+def test_lpips_zero_for_identical():
+    m = LPIPS()
+    x = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x, x)
+    d_same = np.asarray(jax.jit(m.apply)(params, x, x))
+    assert np.allclose(d_same, 0, atol=1e-6)
+    y = jnp.asarray(np.random.RandomState(1).uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    d_diff = np.asarray(jax.jit(m.apply)(params, x, y))
+    assert np.all(np.abs(d_diff) > 0)
+
+
+def test_lpips_weight_loading(tmp_path):
+    """Converter maps the standard lpips lin-layer checkpoint layout."""
+    import torch
+
+    sd = {f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1) for i, c in
+          enumerate([64, 192, 384, 256, 256])}
+    p = tmp_path / "alex.pth"
+    torch.save(sd, p)
+    params = load_lpips_weights(str(p))
+    assert params["lin0"]["kernel"].shape == (1, 1, 64, 1)
+    assert params["lin4"]["kernel"].shape == (1, 1, 256, 1)
