@@ -67,6 +67,27 @@ def load_yaml(path: str) -> dict:
 DTYPE = jnp.bfloat16  # compute dtype for the frozen towers on TPU
 
 
+@register("ldm.modules.diffusionmodules.multiview_unet.MultiViewUnetModel")
+def build_multiview_unet(view_num=2, concat_target=False, no_rearrange_selfattn=False, **kwargs):
+    from leftrefill_tpu.models.multiview import MultiViewUnetModel
+
+    base = build_unet(**kwargs)
+    return MultiViewUnetModel(
+        view_num=view_num,
+        concat_target=concat_target,
+        no_rearrange_selfattn=no_rearrange_selfattn,
+        **{
+            f: getattr(base, f)
+            for f in (
+                "in_channels", "model_channels", "out_channels", "num_res_blocks",
+                "attention_resolutions", "channel_mult", "num_heads",
+                "num_head_channels", "use_spatial_transformer", "transformer_depth",
+                "context_dim", "use_linear_in_transformer", "dtype",
+            )
+        },
+    )
+
+
 @register(
     "ldm.modules.diffusionmodules.openaimodel.UNetModel",
 )
@@ -176,11 +197,20 @@ def build_prompt_clip(
         bpe_path=bpe_path,
     )
     if view_tokens:
-        # append view tokens to the tokenizer's special table
+        # append view tokens to the tokenizer's special table; their init
+        # sentence is hardcoded in the reference
+        # (multiview_Refill_modules.py:136-141)
+        view_init = (
+            "The whole image is splited into two parts with the same size, "
+            "they share the same scene/landmark captured with different "
+            "viewpoints and times"
+        )
         tok, _, _ = build_prompt_tokenizer(
             sp + view_tokens, None, deep_prompt=False, bpe_path=bpe_path
         )
         sp = sp + view_tokens
+        if init is not None:
+            init = init + [view_init] * len(view_tokens)
     module = PromptCLIPEmbedder(
         layer=layer,
         num_special_tokens=len(sp) if not deep_prompt else len(sp) // cross_attn_layers,

@@ -1,0 +1,98 @@
+"""Multi-view rearranged self-attention + multi-view UNet.
+
+Behavioural reference: /root/reference/ldm/modules/multiview_attention.py
+(MultiViewBasicTransformerBlock:394-468, MultiViewSpatialTransformer:516-606)
+and /root/reference/ldm/modules/diffusionmodules/multiview_unet.py:33-411.
+
+The mechanism: before self-attention, views of a scene are folded from the
+batch axis into the sequence axis so all views jointly self-attend:
+
+  normal:        (b·v, hw, c) -> (b, v·hw, c)                      [:448]
+  concat_target: each of the (v-1) stitched canvases is [view|target];
+                 sequence = [target-right-half, all left-halves]   [:440-446]
+                 and the attended target half is scattered back to every
+                 canvas's right half                               [:456-460]
+
+then rearranged back before the per-view cross-attention.  ``view_num`` is
+static config (XLA-friendly); the joint sequence peaks at 4*4096 = 16384
+tokens, which the Pallas flash kernel handles on one chip (lane-aligned).
+
+TPU notes: all rearranges are pure reshapes/concats with static shapes; the
+concat_target scatter is a static-slice concat rather than an in-place write.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from leftrefill_tpu.models.unet import BasicTransformerBlock, UNetModel
+
+
+class MultiViewBasicTransformerBlock(BasicTransformerBlock):
+    """Self-attn over the joint view sequence; cross-attn/FF stay per-view."""
+
+    view_num: int = 4
+    concat_target: bool = False
+    no_rearrange_selfattn: bool = False
+
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, **kwargs) -> jax.Array:
+        if self.disable_self_attn:
+            raise ValueError("The model should not disable self attention as designed.")
+        bv, hw, c = x.shape
+
+        if self.concat_target:
+            pairs = self.view_num - 1  # canvases per scene
+            if self.no_rearrange_selfattn:
+                b = bv // pairs
+                xs = x.reshape(b, pairs * hw, c)
+                xs = self.attn1(self.norm1(xs)) + xs
+                x = xs.reshape(bv, hw, c)
+            else:
+                # canvases are [view | target]; hw = s * 2s
+                s = int((hw // 2) ** 0.5)
+                b = bv // pairs
+                xn = x.reshape(b, pairs, s, 2 * s, c)
+                target = xn[:, 0:1, :, s:, :]  # the shared right half
+                lefts = xn[:, :, :, :s, :]  # each canvas's view half
+                seq = jnp.concatenate([target, lefts], axis=1)  # [b, v, s, s, c]
+                seq = seq.reshape(b, self.view_num * s * s, c)
+                seq = self.attn1(self.norm1(seq)) + seq
+                seq = seq.reshape(b, self.view_num, s, s, c)
+                new_target = jnp.broadcast_to(
+                    seq[:, 0:1], (b, pairs, s, s, c)
+                )
+                new_lefts = seq[:, 1:]
+                xn = jnp.concatenate([new_lefts, new_target], axis=3)  # [b,p,s,2s,c]
+                x = xn.reshape(bv, hw, c)
+        else:
+            b = bv // self.view_num
+            xs = x.reshape(b, self.view_num * hw, c)
+            xs = self.attn1(self.norm1(xs)) + xs
+            x = xs.reshape(bv, hw, c)
+
+        x = self.attn2(self.norm2(x), context) + x
+        x = self.ff(self.norm3(x)) + x
+        return x
+
+
+def MultiViewUnetModel(
+    view_num: int = 4,
+    concat_target: bool = False,
+    no_rearrange_selfattn: bool = False,
+    **unet_kwargs,
+) -> UNetModel:
+    """MultiViewUnetModel (multiview_unet.py:33-411): the UNet with
+    MultiViewSpatialTransformer at every attention site.  Parameter structure
+    is identical to UNetModel, so SD2 weights load unchanged."""
+    return UNetModel(
+        block_cls=MultiViewBasicTransformerBlock,
+        block_kwargs=dict(
+            view_num=view_num,
+            concat_target=concat_target,
+            no_rearrange_selfattn=no_rearrange_selfattn,
+        ),
+        **unet_kwargs,
+    )
