@@ -108,10 +108,22 @@ def build_unet(
     use_checkpoint=True,
     legacy=False,
     dtype=None,
+    use_sep=None,
     **kwargs,
 ) -> UNetModel:
     del image_size, use_checkpoint, legacy, kwargs  # unused / training-only
-    return UNetModel(
+    if use_sep is not None:
+        # NVS configs pass use_sep on the plain UNetModel target
+        # (novel_view_synthesis.yaml:37); they need the NVSUnetModel class
+        # for the separator columns and the c_input residual.
+        from leftrefill_tpu.models.nvs import NVSUnetModel
+
+        cls = NVSUnetModel
+        extra = dict(use_sep=bool(use_sep))
+    else:
+        cls = UNetModel
+        extra = {}
+    return cls(
         in_channels=in_channels,
         model_channels=model_channels,
         out_channels=out_channels,
@@ -125,6 +137,59 @@ def build_unet(
         context_dim=context_dim,
         use_linear_in_transformer=use_linear_in_transformer,
         dtype=dtype or DTYPE,
+        **extra,
+    )
+
+
+@register("ldm.modules.encoders.NVS_modules.NVSCLIPEmbedder")
+def build_nvs_clip(
+    freeze=True,
+    layer="penultimate",
+    special_tokens=("<left>", "<right>"),
+    init_text=None,
+    tokenwise_init=False,
+    deep_prompt=False,
+    cross_attn_layers=16,
+    view_prompt=False,
+    view_num=None,
+    view_token_len=1,
+    pos_strengthen=False,
+    cfg_rate=0.0,
+    bpe_path=None,
+    dtype=None,
+    **kwargs,
+) -> "CondStageBundle":
+    del freeze, kwargs
+    from leftrefill_tpu.models.nvs import NVSCLIPEmbedder
+
+    tok, sp, init = build_prompt_tokenizer(
+        list(special_tokens),
+        init_text,
+        deep_prompt=deep_prompt,
+        cross_attn_layers=cross_attn_layers,
+        bpe_path=bpe_path,
+    )
+    if view_prompt and view_num is not None:
+        view_tokens = [
+            f"<view_direct-{j}-{l}" for j in range(view_num) for l in range(view_token_len)
+        ]
+        tok, _, _ = build_prompt_tokenizer(sp + view_tokens, None, bpe_path=bpe_path)
+        sp = sp + view_tokens
+    module = NVSCLIPEmbedder(
+        layer=layer,
+        num_special_tokens=len(sp),
+        deep_prompt=deep_prompt,
+        cross_attn_layers=cross_attn_layers,
+        pos_strengthen=pos_strengthen,
+        cfg_rate=cfg_rate,
+        dtype=dtype or DTYPE,
+    )
+    return CondStageBundle(
+        module=module,
+        tokenizer=tok,
+        special_tokens=sp,
+        init_text=init,
+        tokenwise_init=tokenwise_init,
     )
 
 
@@ -237,6 +302,11 @@ class ModelBundle:
     save_prompt_only: bool
     task_target: str
     raw_config: dict
+    lora_config: dict = dataclasses.field(default_factory=dict)
+    refinement_config: dict = dataclasses.field(default_factory=dict)
+    view_num: int = 1
+    concat_target: bool = False
+    reduced_loss: bool = False
 
 
 _TASK_TARGETS = {
@@ -284,4 +354,11 @@ def build_model_from_config(config: dict | str, dtype=None) -> ModelBundle:
         save_prompt_only=p.get("save_prompt_only", False),
         task_target=target,
         raw_config=config,
+        lora_config=p.get("lora", {"do_lora": False}),
+        refinement_config=p.get(
+            "refinement_config", {"use_input_refinement": False, "only_masked_refine": False}
+        ),
+        view_num=p.get("view_num", 1),
+        concat_target=p.get("concat_target", False),
+        reduced_loss=p.get("reduced_loss", False),
     )

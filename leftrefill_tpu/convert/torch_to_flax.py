@@ -115,6 +115,8 @@ def map_unet_key(key: str) -> list[str] | None:
     """'input_blocks.1.0.in_layers.2.weight' ->
     ['input_blocks_1_0', 'in_layers_2', <leaf>]."""
     parts = key.split(".")
+    if parts[0] == "sep_token":  # NVS ParameterDict 'sep_token.9' etc.
+        return [f"sep_token_{parts[1]}"]
     leaf = parts[-1]
     segs = _fold_name(parts[:-1])
     # torch Sequential inside to_out / ff.net are already numeric-folded:
@@ -166,10 +168,28 @@ def map_vae_key(key: str) -> list[str] | None:
     return segs + [leaf]
 
 
+def map_refinement_key(key: str) -> list[str] | None:
+    """NVS refinement CNN (NVS_ldm.py:124-146): torch Sequential indices ->
+    conv_N / norm_N names; returns None for non-refinement keys."""
+    parts = key.split(".")
+    if parts[0] == "refinement_alpha":
+        return ["refinement_alpha"]
+    if parts[0] != "refinement_model":
+        return None
+    idx, leaf = parts[1], parts[2]
+    conv_ids = {"0", "2", "5", "8", "11", "14", "17"}
+    name = f"conv_{idx}" if idx in conv_ids else f"norm_{idx}"
+    return [name, leaf]
+
+
 def map_clip_key(key: str) -> list[str] | None:
     """cond_stage_model sub-keys (after prefix strip)."""
     if key == "special_embeddings.weight":
         return ["special_embeddings"]
+    if key.startswith("rel_pos_model."):
+        # 'rel_pos_model.mlp1.0.weight' -> rel_pos_model/mlp1_0/<leaf>
+        parts = key.split(".")
+        return ["rel_pos_model", f"{parts[1]}_{parts[2]}", parts[3]]
     if key == "model.token_embedding.weight":
         return ["token_embedding"]
     if key == "model.positional_embedding":
@@ -255,6 +275,9 @@ def convert_state_dict(
             sub = key[len("cond_stage_model."):]
             path = map_clip_key(sub)
             root = "cond"
+        elif key.startswith(("refinement_model.", "refinement_alpha")):
+            path = map_refinement_key(key)
+            root = "refine"
         else:
             skipped.append(key)
             continue

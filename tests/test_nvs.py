@@ -1,0 +1,202 @@
+"""NVS stack tests: sep-token UNet, pose embedder, refinement CNN, LoRA,
+StructureDDIM 3-way guidance (reference: NVS_ldm.py, NVS_modules.py, lora.py,
+ddim.py:474-647)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leftrefill_tpu.models.lora import (
+    default_target,
+    extended_target,
+    init_lora,
+    merge_lora,
+    num_lora_params,
+)
+from leftrefill_tpu.models.nvs import (
+    NVSCLIPEmbedder,
+    NVSUnetModel,
+    RefinementCNN,
+    RelPosModel,
+)
+
+TINY_UNET = dict(
+    in_channels=9, model_channels=32, out_channels=4, num_res_blocks=1,
+    attention_resolutions=(1,), channel_mult=(1, 2), num_head_channels=8,
+    context_dim=16,
+)
+
+
+def test_nvs_unet_sep_and_cinput():
+    m = NVSUnetModel(use_sep=True, **TINY_UNET)
+    x = jnp.zeros((1, 8, 16, 9))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 7, 16))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, ctx)
+    # sep tokens exist for the tiny channel set that actually occurs
+    sep_keys = [k for k in params["params"] if k.startswith("sep_token_")]
+    assert sep_keys, params["params"].keys()
+    out = jax.jit(m.apply)(params, x, t, ctx)
+    assert out.shape == (1, 8, 16, 4)
+
+    # c_input with latent shape adds to the right half only after block 0
+    c_in_half = jnp.ones((1, 8, 8, 32))
+    out2 = jax.jit(lambda ci: m.apply(params, x, t, ctx, c_input=ci))(c_in_half)
+    assert out2.shape == (1, 8, 16, 4)
+    # full-shape c_input adds everywhere
+    c_in_full = jnp.ones((1, 8, 16, 32))
+    out3 = jax.jit(lambda ci: m.apply(params, x, t, ctx, c_input=ci))(c_in_full)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_refinement_cnn_shapes_and_zero_alpha():
+    m = RefinementCNN(model_channels=32)
+    img = jnp.ones((1, 64, 128, 3))
+    mask = jnp.ones((1, 64, 128, 1))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), img, mask)
+    out = jax.jit(m.apply)(params, img, mask)
+    assert out.shape == (1, 8, 16, 32)  # 1/8 resolution, model_channels
+    # refinement_alpha init 0 -> the branch is a no-op at start (NVS_ldm.py:147)
+    assert np.all(np.asarray(out) == 0)
+
+
+def test_rel_pos_model_shapes():
+    m = RelPosModel(out_ch=32, pos_strengthen=True)
+    pose = jnp.ones((2, 4))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), pose)
+    x1, x2 = m.apply(params, pose)
+    assert x1.shape == (2, 32) and x2.shape == (2, 32)
+    assert "mlp1_0" in params["params"] and "mlp2_1" in params["params"]
+
+
+def test_nvs_embedder_pose_overwrite_and_cfg_dropout():
+    emb = NVSCLIPEmbedder(
+        vocab_size=49408, width=32, heads=2, layers=2,
+        num_special_tokens=4, cfg_rate=1.0,  # always drop when cfg_key given
+    )
+    tokens = jnp.full((2, 77), 49406, jnp.int32)
+    pose = jnp.asarray([[0.1, 0.2, 0.3, 0.4], [0.5, 0.6, 0.7, 0.8]], jnp.float32)
+    null_tokens = jnp.zeros((1, 77), jnp.int32)
+    params = jax.jit(emb.init)(jax.random.PRNGKey(0), tokens, pose)
+
+    f = jax.jit(lambda p, tk, ps: emb.apply(p, tk, ps))
+    z1 = f(params, tokens, pose)
+    z2 = f(params, tokens, pose.at[0, 0].set(9.0))
+    # pose change must alter the output (slot overwrite feeds the transformer)
+    assert not np.allclose(np.asarray(z1[0]), np.asarray(z2[0]))
+    assert np.allclose(np.asarray(z1[1]), np.asarray(z2[1]))  # row 1 pose same
+
+    # cfg_rate=1 with a key: prompt replaced by null embedding -> output
+    # no longer depends on the pose/prompt
+    g = jax.jit(
+        lambda p, tk, ps: emb.apply(
+            p, tk, ps, null_tokens=null_tokens, cfg_key=jax.random.PRNGKey(5)
+        )
+    )
+    z3 = g(params, tokens, pose)
+    z4 = g(params, tokens, pose.at[0, 0].set(9.0))
+    assert np.allclose(np.asarray(z3), np.asarray(z4))
+
+
+def test_lora_merge_equivalence_and_targets():
+    """merged kernel == base + scale*down@up; up=0 at init -> merge is
+    identity (lora.py:25-26 init semantics)."""
+    from leftrefill_tpu.models.unet import UNetModel
+
+    m = UNetModel(**TINY_UNET)
+    x = jnp.zeros((1, 8, 16, 9))
+    params = jax.jit(m.init)(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 7, 16))
+    )["params"]
+
+    lora = init_lora(params, rank=4, target=default_target, key=jax.random.PRNGKey(1))
+    assert lora, "no LoRA sites found"
+    # default targets: only attention projections + GEGLU
+    for k in lora:
+        assert any(s in k for s in ("to_q", "to_k", "to_v", "to_out_0", "net_0_proj")), k
+
+    merged = merge_lora(params, lora, scale=1.0)
+    # up is zero-init -> merge must be an exact no-op
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(merged),
+    ):
+        assert np.allclose(np.asarray(l1), np.asarray(l2))
+
+    # non-zero up actually changes the targeted kernel by down@up
+    key0 = next(iter(lora))
+    lora[key0]["up"] = jnp.ones_like(lora[key0]["up"])
+    merged2 = merge_lora(params, lora, scale=2.0)
+    path = key0.split("/")
+    base = params
+    new = merged2
+    for s in path:
+        base, new = base[s], new[s]
+    expected = np.asarray(base) + 2.0 * np.asarray(lora[key0]["down"] @ lora[key0]["up"])
+    assert np.allclose(np.asarray(new), expected, atol=1e-6)
+
+    ext = init_lora(params, rank=4, target=extended_target)
+    assert num_lora_params(ext) > num_lora_params(lora)
+    assert any("in_layers_2" in k for k in ext)
+
+
+def test_structure_ddim_phases():
+    from leftrefill_tpu.diffusion.core import Conditioning
+    from leftrefill_tpu.diffusion.schedules import DiffusionSchedule
+    from leftrefill_tpu.diffusion.structure_ddim import structure_ddim_sample
+
+    @dataclasses.dataclass(frozen=True)
+    class FakeModel:
+        schedule: DiffusionSchedule
+        parameterization: str = "eps"
+
+    sched = DiffusionSchedule.create(1000, "linear", 0.00085, 0.0120)
+    model = FakeModel(sched)
+    tables = sched.ddim_tables(6, eta=0.0)
+    shape = (1, 2, 2, 1)
+
+    def apply_fn(x, t, c):
+        return jnp.broadcast_to(c.c_crossattn[:, None, None, :1], x.shape).astype(x.dtype)
+
+    cond = Conditioning(c_crossattn=jnp.full((1, 1), 2.0))
+    cond_simple = Conditioning(c_crossattn=jnp.full((1, 1), 4.0))
+    uncond = Conditioning(c_crossattn=jnp.full((1, 1), 0.0))
+
+    out = jax.jit(
+        lambda c, cs, u: structure_ddim_sample(
+            model, apply_fn, tables, c, cs, jax.random.PRNGKey(0), shape,
+            uncond=u, guidance_scale=1.5, cond_weight=0.5, Tm=3,
+            x_T=jnp.zeros(shape),
+        )
+    )(cond, cond_simple, uncond)
+    assert out.shape == shape
+    assert np.isfinite(np.asarray(out)).all()
+    # Tm = num_steps -> pure 3-way phase; Tm = 0 -> pure simple phase; they differ
+    f = lambda tm: structure_ddim_sample(
+        model, apply_fn, tables, cond, cond_simple, jax.random.PRNGKey(0), shape,
+        uncond=uncond, guidance_scale=1.5, cond_weight=0.5, Tm=tm,
+        x_T=jnp.zeros(shape),
+    )
+    o_all = np.asarray(jax.jit(lambda: f(6))())
+    o_none = np.asarray(jax.jit(lambda: f(0))())
+    assert not np.allclose(o_all, o_none)
+
+
+NVS_CFG = "/root/reference/configs/novel_view_synthesis.yaml"
+
+
+@pytest.mark.skipif(not os.path.exists(NVS_CFG), reason="reference configs absent")
+def test_nvs_yaml_builds():
+    from leftrefill_tpu.config import build_model_from_config
+
+    bundle = build_model_from_config(NVS_CFG)
+    assert bundle.model.conditioning_key == "hybrid-refine"
+    assert len(bundle.cond_bundle.special_tokens) == 73
+    assert bundle.cond_bundle.module.cfg_rate == 0.15
+    assert isinstance(bundle.model.unet, NVSUnetModel)
+    assert bundle.lora_config["lora_rank"] == 16
+    assert bundle.refinement_config["use_input_refinement"] is False
