@@ -157,6 +157,10 @@ def build_nvs_clip(
     cfg_rate=0.0,
     bpe_path=None,
     dtype=None,
+    width=1024,
+    heads=16,
+    layers=24,
+    vocab_size=49408,
     **kwargs,
 ) -> "CondStageBundle":
     del freeze, kwargs
@@ -182,6 +186,10 @@ def build_nvs_clip(
         cross_attn_layers=cross_attn_layers,
         pos_strengthen=pos_strengthen,
         cfg_rate=cfg_rate,
+        width=width,
+        heads=heads,
+        layers=layers,
+        vocab_size=vocab_size,
         dtype=dtype or DTYPE,
     )
     return CondStageBundle(
@@ -242,6 +250,10 @@ def build_prompt_clip(
     view_token_len=None,
     bpe_path=None,
     dtype=None,
+    width=1024,
+    heads=16,
+    layers=24,
+    vocab_size=49408,
     **kwargs,
 ) -> CondStageBundle:
     del freeze, kwargs
@@ -281,6 +293,10 @@ def build_prompt_clip(
         num_special_tokens=len(sp) if not deep_prompt else len(sp) // cross_attn_layers,
         deep_prompt=deep_prompt,
         cross_attn_layers=cross_attn_layers,
+        width=width,
+        heads=heads,
+        layers=layers,
+        vocab_size=vocab_size,
         dtype=dtype or DTYPE,
     )
     return CondStageBundle(

@@ -1,0 +1,163 @@
+"""Task-layer tests: config -> task -> init/log/validate/train on tiny dims
+(reference: ref_inpainting_ldm.py, multiview_ref_inpainting_ldm.py, NVS_ldm.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from leftrefill_tpu.config import build_model_from_config
+from leftrefill_tpu.tasks import MultiViewRefInpaintTask, NVSTask, RefInpaintTask, build_task
+
+TINY_YAML = """
+model:
+  target: inpainting_ldm.ref_inpainting_ldm.RefInpaintLDM
+  params:
+    linear_start: 0.00085
+    linear_end: 0.0120
+    timesteps: 1000
+    conditioning_key: hybrid
+    scale_factor: 0.18215
+    unet_config:
+      target: ldm.modules.diffusionmodules.openaimodel.UNetModel
+      params:
+        in_channels: 9
+        out_channels: 4
+        model_channels: 16
+        attention_resolutions: [1]
+        num_res_blocks: 1
+        channel_mult: [1, 2]
+        num_head_channels: 8
+        context_dim: 24
+    first_stage_config:
+      target: ldm.models.autoencoder.AutoencoderKL
+      params:
+        embed_dim: 4
+        ddconfig: {double_z: true, z_channels: 4, resolution: 64, in_channels: 3,
+                   out_ch: 3, ch: 16, ch_mult: [1, 2], num_res_blocks: 1,
+                   attn_resolutions: [], dropout: 0.0}
+    cond_stage_config:
+      target: ldm.modules.encoders.Refill_modules.PromptCLIPEmbedder
+      params:
+        layer: penultimate
+        special_tokens: ["repeat_4_<special-token>"]
+        init_text: ["two views of one scene"]
+        width: 24
+        heads: 2
+        layers: 2
+    data_config: {img_size: 32, cfg: 2.5, sp_token: "<special-token>", repeat_sp_token: 4}
+    save_prompt_only: true
+"""
+
+
+@pytest.fixture(scope="module")
+def task():
+    cfg = yaml.safe_load(TINY_YAML)
+    bundle = build_model_from_config(cfg, dtype=jnp.float32)
+    t = build_task(bundle)
+    assert isinstance(t, RefInpaintTask)
+    params = t.init_params(jax.random.PRNGKey(0), latent_hw=(8, 16))
+    return t, params
+
+
+def _batch(t, b=2, s=32):
+    rng = np.random.RandomState(0)
+    image = rng.uniform(-1, 1, (b, s, 2 * s, 3)).astype(np.float32)
+    mask = np.concatenate(
+        [np.zeros((b, s, s, 1)), np.ones((b, s, s, 1))], axis=2
+    ).astype(np.float32)
+    prompt = " ".join(t.special_tokens)
+    return {
+        "image": image,
+        "mask": mask,
+        "masked_image": image * (mask < 0.5),
+        "tokens": t.prompt_tokens([prompt] * b),
+    }
+
+
+def test_special_embedding_text_init(task):
+    """special_embeddings rows initialized to the mean init-text embedding
+    (Refill_modules.py:29-56)."""
+    t, params = task
+    table = np.asarray(params["cond"]["token_embedding"])
+    ids = t.tokenizer.encode("two views of one scene")
+    expected = table[np.asarray(ids)].mean(axis=0)
+    sp = np.asarray(params["cond"]["special_embeddings"])
+    assert sp.shape == (4, 24)
+    for i in range(4):
+        assert np.allclose(sp[i], expected, atol=1e-6)
+
+
+def test_log_images_and_validation(task):
+    t, params = task
+    batch = _batch(t)
+    log = t.log_images(params, batch, ddim_steps=4, unconditional_guidance_scale=2.5)
+    assert log["pred"].shape == (2, 32, 64, 3)
+    assert np.isfinite(np.asarray(log["pred"])).all()
+    metrics = t.validation_metrics(params, batch, cfg_scale=2.5, ddim_steps=4)
+    assert "val/psnr" in metrics and "val/ssim" in metrics
+    assert np.isfinite(metrics["val/psnr"])
+
+    # cfg == 0 branch (uncond-only sampling, ref_inpainting_ldm.py:54-60)
+    log0 = t.log_images(params, batch, ddim_steps=2, unconditional_guidance_scale=0.0)
+    assert np.isfinite(np.asarray(log0["pred"])).all()
+
+
+def test_train_step_moves_only_prompt(task):
+    from leftrefill_tpu.train.trainer import (
+        OptimizerConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    t, params = task
+    batch = _batch(t)
+    state, tx = create_train_state(params, OptimizerConfig(lr=1e-3))
+    step = make_train_step(t.model, tx, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    d_sp = np.abs(
+        np.asarray(new_state.params["cond"]["special_embeddings"])
+        - np.asarray(params["cond"]["special_embeddings"])
+    ).max()
+    d_unet = max(
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new_state.params["unet"]),
+            jax.tree_util.tree_leaves(params["unet"]),
+        )
+    )
+    assert d_sp > 0
+    assert d_unet == 0
+
+
+def test_prompt_only_checkpoint_roundtrip(task, tmp_path):
+    from leftrefill_tpu.train.checkpoints import (
+        CheckpointManager,
+        filter_tree,
+        prompt_only_filter,
+        restore_over_base,
+        save_pruned,
+    )
+
+    t, params = task
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), monitor="val/lpips", top_k=2)
+    save_pruned(mgr, 10, params, save_prompt_only=True, metrics={"val/lpips": 0.5})
+    save_pruned(mgr, 20, params, save_prompt_only=True, metrics={"val/lpips": 0.3})
+    save_pruned(mgr, 30, params, save_prompt_only=True, metrics={"val/lpips": 0.9})
+    assert mgr.best_name() == "step_20"
+    assert len(mgr.manifest["best"]) == 2  # top-2 kept
+
+    restored = mgr.restore("last")
+    # only the prompt table is in the pruned ckpt
+    flat = jax.tree_util.tree_leaves(restored)
+    assert len(flat) == 1
+    # merge back over a fresh base (the last_resave dance)
+    base = t.init_params(jax.random.PRNGKey(1), latent_hw=(8, 16))
+    merged, missing, unexpected = restore_over_base(base, restored)
+    assert np.allclose(
+        np.asarray(merged["cond"]["special_embeddings"]),
+        np.asarray(params["cond"]["special_embeddings"]),
+    )
+    assert not unexpected
