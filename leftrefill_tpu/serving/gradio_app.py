@@ -1,0 +1,159 @@
+"""Interactive serving — the ref_inpainting_gradio.py equivalent.
+
+Behavioural reference: /root/reference/ref_inpainting_gradio.py:27-243 —
+initialize_model from exp dir, canvas assembly (resize both images to 512^2,
+pad to a /64 multiple, hstack [reference | source], zero-left mask), prompt =
+50 repeated special tokens, CFG with uncond text only, DDIM eta=1.0, decode,
+composite, return the right half; Blocks UI with steps / #images / scale /
+seed sliders.
+
+gradio is not in the baked environment: the UI is gated behind the import and
+``predict`` / ``initialize_model`` are usable headlessly (and are what the
+batched-serving benchmark drives).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+try:
+    import gradio as gr
+
+    HAS_GRADIO = True
+except ImportError:  # baked env has no gradio; headless API still works
+    gr = None
+    HAS_GRADIO = False
+
+
+def pad_to_multiple(img: np.ndarray, multiple: int = 64) -> np.ndarray:
+    """Pad H/W up to a /multiple size with edge replication
+    (ref_inpainting_gradio.py:142-145,168-177 semantics)."""
+    h, w = img.shape[:2]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    if ph == 0 and pw == 0:
+        return img
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, pad, mode="edge")
+
+
+def initialize_model(exp_dir: str, sd_ckpt: Optional[str] = None, img_size: int = 512):
+    """Build the serving pipeline from an experiment dir
+    (ref_inpainting_gradio.py:27-51)."""
+    from leftrefill_tpu.config import build_model_from_config
+    from leftrefill_tpu.pipeline import RefInpaintPipeline
+    from leftrefill_tpu.tasks import build_task
+    from leftrefill_tpu.train.checkpoints import CheckpointManager, restore_over_base
+
+    bundle = build_model_from_config(os.path.join(exp_dir, "model_config.yaml"))
+    task = build_task(bundle)
+    sd_sd = None
+    if sd_ckpt and os.path.exists(sd_ckpt):
+        from leftrefill_tpu.convert.torch_to_flax import load_torch_state_dict
+
+        sd_sd = load_torch_state_dict(sd_ckpt)
+    params = task.init_params(
+        jax.random.PRNGKey(42), sd_state_dict=sd_sd, latent_hw=(img_size // 8, img_size // 4)
+    )
+    ckpt_dir = os.path.join(exp_dir, "ckpts")
+    if os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
+        mgr = CheckpointManager(ckpt_dir)
+        params, _, _ = restore_over_base(params, mgr.restore(mgr.best_name() or "last"))
+    return RefInpaintPipeline(
+        model=bundle.model,
+        params=params,
+        tokenizer=bundle.cond_bundle.tokenizer,
+        special_tokens=bundle.cond_bundle.special_tokens,
+        eta=1.0,
+    )
+
+
+def predict(
+    pipeline,
+    reference: np.ndarray,
+    source: np.ndarray,
+    mask: np.ndarray,
+    ddim_steps: int = 50,
+    num_samples: int = 1,
+    scale: float = 2.5,
+    seed: int = 42,
+    img_size: int = 512,
+) -> list[np.ndarray]:
+    """The gradio predict flow (ref_inpainting_gradio.py:148-211): resize to
+    img_size^2, binarize the sketch mask, stitch, sample num_samples with a
+    seeded start code, return right halves as uint8."""
+    import cv2
+
+    from leftrefill_tpu.pipeline import stitch_canvas
+
+    ref = cv2.resize(np.asarray(reference), (img_size, img_size), interpolation=cv2.INTER_AREA)
+    src = cv2.resize(np.asarray(source), (img_size, img_size), interpolation=cv2.INTER_AREA)
+    m = cv2.resize(np.asarray(mask), (img_size, img_size), interpolation=cv2.INTER_NEAREST)
+    if m.ndim == 3:
+        m = m[..., 0]
+    m = (m > 127).astype(np.float32)[None, :, :, None]
+
+    ref = (ref.astype(np.float32) / 127.5 - 1.0)[None]
+    src = (src.astype(np.float32) / 127.5 - 1.0)[None]
+    image, full_mask = stitch_canvas(ref, src, m)
+    image = np.repeat(image, num_samples, axis=0)
+    full_mask = np.repeat(full_mask, num_samples, axis=0)
+
+    pipeline.ddim_steps = ddim_steps
+    pipeline.guidance_scale = scale
+    pipeline.__post_init__()  # rebuild the jitted fn for new static config
+    # seeded start code (ref_inpainting_gradio.py:88-91)
+    h, w = image.shape[1] // 8, image.shape[2] // 8
+    x_T = jax.random.normal(
+        jax.random.PRNGKey(seed), (num_samples, h, w, 4), dtype=np.float32
+    )
+    right = pipeline.inpaint_right_half(image, full_mask, jax.random.PRNGKey(seed), x_T=x_T)
+    return [np.clip((r + 1) * 127.5, 0, 255).astype(np.uint8) for r in right]
+
+
+def build_ui(pipeline):
+    """Blocks UI (ref_inpainting_gradio.py:216-243)."""
+    if not HAS_GRADIO:
+        raise ImportError("gradio is not installed in this environment")
+
+    with gr.Blocks() as demo:
+        gr.Markdown("## LeftRefill-TPU: reference-guided inpainting")
+        with gr.Row():
+            ref_img = gr.Image(label="Reference (left)", type="numpy")
+            src_img = gr.Image(label="Target with mask sketch", type="numpy", tool="sketch")
+            out_gallery = gr.Gallery(label="Results")
+        with gr.Row():
+            steps = gr.Slider(1, 200, value=50, step=1, label="Steps")
+            n_samples = gr.Slider(1, 4, value=1, step=1, label="Images")
+            scale = gr.Slider(0.0, 10.0, value=2.5, step=0.1, label="Guidance Scale")
+            seed = gr.Slider(0, 2147483647, value=42, step=1, label="Seed")
+        run = gr.Button("Inpaint")
+
+        def _run(ref, src_and_mask, steps, n, scale, seed):
+            return predict(
+                pipeline, ref, src_and_mask["image"], src_and_mask["mask"],
+                int(steps), int(n), float(scale), int(seed),
+            )
+
+        run.click(_run, [ref_img, src_img, steps, n_samples, scale, seed], [out_gallery])
+    return demo
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--sd_ckpt", default=None)
+    p.add_argument("--port", default=7860, type=int)
+    args = p.parse_args(argv)
+    pipe = initialize_model(args.model_path, args.sd_ckpt)
+    build_ui(pipe).launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()
