@@ -323,6 +323,38 @@ def merge_params(base: dict, loaded: dict, path: str = "") -> tuple[dict, list[s
     return merged, missing, unexpected
 
 
+def make_it_fit(old_param: np.ndarray, new_shape: tuple[int, ...]) -> np.ndarray:
+    """Channel-tiling restore for shape-mismatched weights
+    (ddpm.py:231-273 ``make_it_fit``): cyclically tile the first two axes and
+    normalize the second axis by its reuse count.  NOTE: axis convention here
+    is the *flax* layout — for conv kernels HWIO the channel axes are the last
+    two, so callers pass the torch-layout array BEFORE transposition."""
+    old_shape = old_param.shape
+    assert len(old_shape) == len(new_shape)
+    if len(new_shape) > 2:
+        assert tuple(new_shape[2:]) == tuple(old_shape[2:])
+    if tuple(new_shape) == tuple(old_shape):
+        return old_param
+    new_param = np.zeros(new_shape, dtype=old_param.dtype)
+    if len(new_shape) == 1:
+        for i in range(new_shape[0]):
+            new_param[i] = old_param[i % old_shape[0]]
+        return new_param
+    for i in range(new_shape[0]):
+        for j in range(new_shape[1]):
+            new_param[i, j] = old_param[i % old_shape[0], j % old_shape[1]]
+    n_used_old = np.ones(old_shape[1])
+    for j in range(new_shape[1]):
+        n_used_old[j % old_shape[1]] += 1
+    n_used_new = np.zeros(new_shape[1])
+    for j in range(new_shape[1]):
+        n_used_new[j] = n_used_old[j % old_shape[1]]
+    n_used_new = n_used_new[None, :]
+    while n_used_new.ndim < len(new_shape):
+        n_used_new = n_used_new[..., None]
+    return new_param / n_used_new
+
+
 def zero_extend_input_conv(kernel: np.ndarray, new_in: int) -> np.ndarray:
     """finetune_keys channel growth (ddpm.py:1542-1570): restoring a 4-channel
     SD ckpt into the 9-channel inpaint UNet zero-fills the new input channels.
