@@ -121,8 +121,9 @@ def main(argv=None) -> int:
         start_step = mgr.manifest["last"]["step"]
         print(f"Restored prompt weights at step {start_step}")
 
-    # LoRA (NVS only, NVS_ldm.py:154-168)
+    # LoRA (NVS only, NVS_ldm.py:154-168): factors train alongside the prompt
     lora = None
+    lora_scale = 1.0
     if is_nvs and bundle.lora_config.get("do_lora"):
         target = (
             extended_target
@@ -132,6 +133,7 @@ def main(argv=None) -> int:
         lora = init_lora(
             params["unet"], rank=bundle.lora_config.get("lora_rank", 16), target=target
         )
+        lora_scale = bundle.lora_config.get("lora_scale", 1.0)
         print(f"LoRA enabled over {len(lora)} kernels")
 
     # ------------------------------------------------------------------
@@ -148,10 +150,21 @@ def main(argv=None) -> int:
     predicate = (
         (lambda keys: nvs_prompt_filter(keys)) if is_nvs else prompt_only_predicate
     )
+    if lora is not None:
+        from leftrefill_tpu.train.trainer import lora_predicate, wrap_lora_params
+
+        params = wrap_lora_params(params, lora)
+        predicate = lora_predicate(predicate)
     state, tx = create_train_state(params, opt_config, predicate)
     step_fn = make_train_step(
-        bundle.model, tx, view_reduced=task.view_reduced, view_num=task.view_num
+        bundle.model, tx, view_reduced=task.view_reduced, view_num=task.view_num,
+        lora_scale=lora_scale,
     )
+
+    def eval_params(p):
+        from leftrefill_tpu.train.trainer import _effective_params
+
+        return _effective_params(bundle.model, p, lora_scale)
 
     # ------------------------------------------------------------------
     # data
@@ -231,11 +244,12 @@ def main(argv=None) -> int:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["lr"] = opt_config.lr
                     m["step_time_s"] = dt
-                    m.update(drift.drift(np.asarray(state.params["cond"]["special_embeddings"])))
+                    sp_tree = state.params["model"] if "lora" in state.params and "model" in state.params else state.params
+                    m.update(drift.drift(np.asarray(sp_tree["cond"]["special_embeddings"])))
                     mlog.log(step, m)
                 if ilog.should_log(step) and host == 0:
                     log = task.log_images(
-                        state.params, batch, N=min(2, batch["image"].shape[0] if not is_mv else 2),
+                        eval_params(state.params), batch, N=min(2, batch["image"].shape[0] if not is_mv else 2),
                         ddim_steps=config.get("log_ddim_steps", 50),
                         unconditional_guidance_scale=cfg_scale,
                     )
@@ -252,7 +266,7 @@ def main(argv=None) -> int:
                         vb = flatten_views(vb)
                     vals.append(
                         task.validation_metrics(
-                            state.params, vb, cfg_scale=cfg_scale,
+                            eval_params(state.params), vb, cfg_scale=cfg_scale,
                             ddim_steps=config.get("val_ddim_steps", 50),
                         )
                     )

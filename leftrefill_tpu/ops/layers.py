@@ -16,6 +16,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -115,8 +116,10 @@ def nearest_resize(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
 
     Used for the mask ↓8 in LatentInpaintDiffusion.get_input (ddpm.py:1678-1683).
     """
+    x = jnp.asarray(x)
     b, h, w, c = x.shape
     oh, ow = out_hw
-    rows = jnp.floor(jnp.arange(oh, dtype=jnp.float32) * (h / oh)).astype(jnp.int32)
-    cols = jnp.floor(jnp.arange(ow, dtype=jnp.float32) * (w / ow)).astype(jnp.int32)
+    # host-side index tables (static shapes) — keeps numpy inputs traceable
+    rows = np.floor(np.arange(oh) * (h / oh)).astype(np.int32)
+    cols = np.floor(np.arange(ow) * (w / ow)).astype(np.int32)
     return x[:, rows][:, :, cols]

@@ -112,6 +112,36 @@ def create_train_state(
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), tx
 
 
+def wrap_lora_params(params: Params, lora: dict) -> dict:
+    """Pack LoRA factors alongside the model params; the loss merges them
+    into the UNet kernels at apply time (exact-equivalent of the reference's
+    injected modules, models/lora.py)."""
+    return {"model": params, "lora": lora}
+
+
+def lora_predicate(base_predicate: Callable[[tuple], bool]) -> Callable[[tuple], bool]:
+    """Trainable = all LoRA factors + whatever the base predicate selects in
+    the model subtree (the NVS optimizer groups, NVS_ldm.py:314-345)."""
+
+    def pred(keys: tuple) -> bool:
+        if keys and keys[0] == "lora":
+            return True
+        inner = keys[1:] if keys and keys[0] == "model" else keys
+        return base_predicate(inner)
+
+    return pred
+
+
+def _effective_params(model: LeftRefillModel, params: Params, lora_scale: float) -> Params:
+    if isinstance(params, dict) and "lora" in params and "model" in params:
+        from leftrefill_tpu.models.lora import merge_lora
+
+        eff = dict(params["model"])
+        eff["unet"] = merge_lora(params["model"]["unet"], params["lora"], lora_scale)
+        return eff
+    return params
+
+
 def compute_loss(
     model: LeftRefillModel,
     params: Params,
@@ -119,6 +149,7 @@ def compute_loss(
     key: jax.Array,
     view_reduced: bool = False,
     view_num: int = 1,
+    lora_scale: float = 1.0,
 ) -> tuple[jax.Array, dict]:
     """One forward loss (shared_step semantics, ddpm.py:849-863, 900-935).
 
@@ -127,6 +158,7 @@ def compute_loss(
     ``view_reduced``: multi-view mode — per-view loss reshaped (b v) and only
     view 0 (the target) kept (multiview_ref_inpainting_ldm.py:38-91).
     """
+    params = _effective_params(model, params, lora_scale)
     t_key, n_key = jax.random.split(key)
     z = model.encode_first_stage(params, batch["image"])
     cond = model.build_inpaint_cond(
@@ -150,14 +182,17 @@ def make_train_step(
     view_reduced: bool = False,
     view_num: int = 1,
     donate: bool = True,
+    lora_scale: float = 1.0,
 ):
     """Build the jitted train step.  Under a Mesh with the batch sharded over
-    'data' and params replicated, jit emits the grad all-reduce."""
+    'data' and params replicated, jit emits the grad all-reduce.  When
+    state.params is a {'model':…, 'lora':…} pack, LoRA factors train too."""
 
     def step(state: TrainState, batch: dict, key: jax.Array):
         def loss_fn(p):
             return compute_loss(
-                model, p, batch, key, view_reduced=view_reduced, view_num=view_num
+                model, p, batch, key,
+                view_reduced=view_reduced, view_num=view_num, lora_scale=lora_scale,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -51,6 +51,21 @@ model:
 """
 
 
+def unzero_kernels(params, key=0, scale=0.02):
+    """Fresh models have zero-init output convs/projections (zero_module
+    semantics) which block all gradient flow; real training starts from SD
+    weights.  For gradient tests, fill zero kernels with small noise."""
+    rng = np.random.RandomState(key)
+
+    def fix(leaf):
+        arr = np.asarray(leaf)
+        if arr.ndim >= 2 and arr.size and np.all(arr == 0):
+            return jnp.asarray(rng.randn(*arr.shape).astype(arr.dtype) * scale)
+        return leaf
+
+    return jax.tree_util.tree_map(fix, params)
+
+
 @pytest.fixture(scope="module")
 def task():
     cfg = yaml.safe_load(TINY_YAML)
@@ -58,6 +73,7 @@ def task():
     t = build_task(bundle)
     assert isinstance(t, RefInpaintTask)
     params = t.init_params(jax.random.PRNGKey(0), latent_hw=(8, 16))
+    params = unzero_kernels(params)
     return t, params
 
 
@@ -130,6 +146,55 @@ def test_train_step_moves_only_prompt(task):
     )
     assert d_sp > 0
     assert d_unet == 0
+    # the movement must come from a real gradient, not just AdamW weight
+    # decay: the grad w.r.t. the prompt table is nonzero
+    from leftrefill_tpu.train.trainer import compute_loss
+
+    g = jax.jit(
+        lambda p, b: jax.grad(lambda q: compute_loss(t.model, q, b, jax.random.PRNGKey(0))[0])(p)
+    )(params, batch)
+    assert np.abs(np.asarray(g["cond"]["special_embeddings"])).max() > 0
+
+
+def test_lora_train_step(task):
+    """LoRA factors train alongside the prompt; merged kernels differ from
+    base after the step (NVS optimizer-group semantics, NVS_ldm.py:314-345)."""
+    from leftrefill_tpu.models.lora import default_target, init_lora
+    from leftrefill_tpu.train.trainer import (
+        OptimizerConfig,
+        _effective_params,
+        create_train_state,
+        lora_predicate,
+        make_train_step,
+        prompt_only_predicate,
+        wrap_lora_params,
+    )
+
+    t, params = task
+    batch = _batch(t)
+    lora = init_lora(params["unet"], rank=2, target=default_target, key=jax.random.PRNGKey(1))
+    pack = wrap_lora_params(params, lora)
+    state, tx = create_train_state(
+        pack, OptimizerConfig(lr=1e-2), lora_predicate(prompt_only_predicate)
+    )
+    step = make_train_step(t.model, tx, donate=False, lora_scale=1.0)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    k0 = next(iter(lora))
+    d_up = np.abs(np.asarray(new_state.params["lora"][k0]["up"]) - np.asarray(lora[k0]["up"])).max()
+    assert d_up > 0, "LoRA up factor did not receive gradient"
+    # frozen UNet kernels untouched; merged (effective) kernels changed
+    d_frozen = np.abs(
+        np.asarray(new_state.params["model"]["unet"]["out_2"]["kernel"])
+        - np.asarray(params["unet"]["out_2"]["kernel"])
+    ).max()
+    assert d_frozen == 0
+    eff = _effective_params(t.model, new_state.params, 1.0)
+    path = k0.split("/")
+    base_k, eff_k = params["unet"], eff["unet"]
+    for s in path:
+        base_k, eff_k = base_k[s], eff_k[s]
+    assert np.abs(np.asarray(eff_k) - np.asarray(base_k)).max() > 0
 
 
 def test_prompt_only_checkpoint_roundtrip(task, tmp_path):
