@@ -190,12 +190,25 @@ class CrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        return_attn: bool = False,
+    ) -> jax.Array:
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
         q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if return_attn:
+            # attention-visualization path (reference debug dumper,
+            # multiview_attention.py:208-295): sow the head-mean probs so
+            # apply(..., mutable=['intermediates']) collects them
+            from leftrefill_tpu.ops.attention import attention_probs
+
+            probs = attention_probs(q, k, self.heads)  # [B, Nq, Nk]
+            self.sow("intermediates", "attn_score", probs)
         out = multi_head_attention(q, k, v, self.heads)
         return dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
@@ -237,9 +250,14 @@ class BasicTransformerBlock(nn.Module):
     def self_attend(self, x_norm: jax.Array, context: Optional[jax.Array]) -> jax.Array:
         return self.attn1(x_norm, context if self.disable_self_attn else None)
 
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        return_attn: bool = False,
+    ) -> jax.Array:
         x = self.self_attend(self.norm1(x), context) + x
-        x = self.attn2(self.norm2(x), context) + x
+        x = self.attn2(self.norm2(x), context, return_attn=return_attn) + x
         x = self.ff(self.norm3(x)) + x
         return x
 

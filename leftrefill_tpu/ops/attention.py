@@ -103,6 +103,20 @@ def multi_head_attention(
     return out.astype(q.dtype)
 
 
+def attention_probs(q: jax.Array, k: jax.Array, num_heads: int) -> jax.Array:
+    """Head-averaged attention probabilities for visualization
+    (the reference's save_attn_vis / return_attn debug path,
+    multiview_attention.py:208-295, ddim.py:282-300).
+    q: [B, Nq, H*D], k: [B, Nk, H*D] -> [B, Nq, Nk] fp32."""
+    b, nq, inner = q.shape
+    nk = k.shape[1]
+    d = inner // num_heads
+    qh = q.reshape(b, nq, num_heads, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+    kh = k.reshape(b, nk, num_heads, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+    sim = jnp.einsum("bhid,bhjd->bhij", qh, kh) * (d**-0.5)
+    return jax.nn.softmax(sim, axis=-1).mean(axis=1)
+
+
 def causal_text_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int
 ) -> jax.Array:

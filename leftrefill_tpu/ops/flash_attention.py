@@ -32,7 +32,9 @@ DEFAULT_BLOCK_Q = 128
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [blk_q, D]
+    # fold the softmax scale into q (a [blk_q, D] multiply) instead of the
+    # [blk_q, Nk] score tile — saves a full-tile VPU pass
+    q = q_ref[0].astype(jnp.float32) * scale
     k = k_ref[0]  # [Nk, D]
     v = v_ref[0]
     s = jax.lax.dot_general(
@@ -41,7 +43,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)

@@ -67,6 +67,10 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
     param_dtype: Dtype = jnp.float32
+    # fp32 statistics always; when fast_affine the normalize+affine runs as a
+    # single fused multiply-add in the input dtype (one bf16 rounding step vs
+    # the reference's full-fp32 GN — the output is bf16 either way)
+    fast_affine: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -75,20 +79,31 @@ class GroupNorm32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
 
-        x32 = x.astype(jnp.float32)
         # real configs always have c % 32 == 0; clamp only for tiny test nets
         g = min(self.num_groups, c)
         while c % g:
             g -= 1
-        spatial = x32.shape[1:-1]
-        xg = x32.reshape(x32.shape[0], *spatial, g, c // g)
+        b = x.shape[0]
+        spatial = x.shape[1:-1]
+        xg = x.reshape(b, *spatial, g, c // g)
         red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
-        var = jnp.var(xg, axis=red_axes, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        x32 = xg.reshape(x32.shape)
-        x32 = x32 * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return x32.astype(orig_dtype)
+        # fp32 statistics (XLA fuses the upcast into the reduction)
+        mean = jnp.mean(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
+        var = jnp.var(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
+        rstd = jax.lax.rsqrt(var + self.eps)
+
+        # fold (mean, rstd, gamma, beta) into per-(batch, channel) A, B;
+        # broadcast over spatial happens lazily inside the fused madd
+        gamma = scale.astype(jnp.float32).reshape(g, c // g)
+        beta = bias.astype(jnp.float32).reshape(g, c // g)
+        one_spatial = (1,) * len(spatial)
+        a = (rstd * gamma).reshape(b, *one_spatial, c)
+        bb = (beta - mean * rstd * gamma).reshape(b, *one_spatial, c)
+        if self.fast_affine and orig_dtype != jnp.float32:
+            y = x * a.astype(orig_dtype) + bb.astype(orig_dtype)
+        else:
+            y = (x.astype(jnp.float32) * a + bb).astype(orig_dtype)
+        return y
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:

@@ -80,3 +80,50 @@ def test_init_special_embeddings_mean():
     expected = table[np.asarray(ids)].mean(axis=0)
     for i in range(3):
         assert np.allclose(w[i], expected)
+
+
+def test_text_block_parity_vs_torch_mha():
+    """TextResBlock attention == torch MultiheadAttention with causal mask
+    (the open_clip resblock oracle)."""
+    import torch
+
+    from leftrefill_tpu.models.clip import TextResBlock
+
+    width, heads, n, b = 16, 2, 5, 2
+    rng = np.random.RandomState(0)
+    x = rng.randn(b, n, width).astype(np.float32)
+
+    tmha = torch.nn.MultiheadAttention(width, heads, batch_first=False)
+    ln1 = torch.nn.LayerNorm(width)
+    fc = torch.nn.Linear(width, 4 * width)
+    proj = torch.nn.Linear(4 * width, width)
+    ln2 = torch.nn.LayerNorm(width)
+    mask = torch.triu(torch.full((n, n), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(1, 0, 2)  # LND
+        y = ln1(xt)
+        attn_out, _ = tmha(y, y, y, attn_mask=mask, need_weights=False)
+        xt = xt + attn_out
+        y = ln2(xt)
+        xt = xt + proj(torch.nn.functional.gelu(fc(y)))
+        ref = xt.permute(1, 0, 2).numpy()
+
+    m = TextResBlock(width=width, heads=heads)
+    params = {
+        "params": {
+            "ln_1": {"scale": ln1.weight.detach().numpy(), "bias": ln1.bias.detach().numpy()},
+            "attn_in_proj": {
+                "kernel": tmha.in_proj_weight.detach().numpy().T,
+                "bias": tmha.in_proj_bias.detach().numpy(),
+            },
+            "attn_out_proj": {
+                "kernel": tmha.out_proj.weight.detach().numpy().T,
+                "bias": tmha.out_proj.bias.detach().numpy(),
+            },
+            "ln_2": {"scale": ln2.weight.detach().numpy(), "bias": ln2.bias.detach().numpy()},
+            "mlp_c_fc": {"kernel": fc.weight.detach().numpy().T, "bias": fc.bias.detach().numpy()},
+            "mlp_c_proj": {"kernel": proj.weight.detach().numpy().T, "bias": proj.bias.detach().numpy()},
+        }
+    }
+    out = np.asarray(jax.jit(m.apply)(params, jnp.asarray(x)))
+    assert np.abs(out - ref).max() < 2e-5, np.abs(out - ref).max()

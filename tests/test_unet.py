@@ -89,3 +89,20 @@ def test_unet_sd2_structure_block_count():
     # 9-channel input stem
     assert p["input_blocks_0_0"]["kernel"].shape == (3, 3, 9, 320)
     assert p["out_2"]["kernel"].shape == (3, 3, 320, 4)
+
+
+def test_return_attn_sows_cross_attention(tiny_unet):
+    """return_attn collects per-layer cross-attn maps via flax intermediates
+    (the reference's return_attn debug plumbing, ddim.py:282-300)."""
+    from leftrefill_tpu.eval.attn_vis import collect_attention_maps
+
+    model, params = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 32, 9))
+    maps = collect_attention_maps(
+        model, params["params"], x, jnp.array([7]), jnp.ones((1, 7, 16))
+    )
+    assert len(maps) >= 4  # one per SpatialTransformer
+    for k, v in maps.items():
+        assert k.endswith("attn_score")
+        assert v.shape[-1] == 7  # context length
+        assert np.allclose(v.sum(-1), 1.0, atol=1e-4)
