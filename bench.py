@@ -72,16 +72,19 @@ def main():
     src = rng.uniform(-1, 1, (batch, 512, 512, 3)).astype(np.float32)
     image, mask = stitch_canvas(ref, src, np.ones((batch, 512, 512, 1), np.float32))
 
-    # compile + warmup (2 calls: the first runs compile, the second warms the
-    # execution path).  NOTE: block_until_ready() does not reliably block
-    # through the axon TPU relay on this host — materialize with np.asarray.
-    np.asarray(pipe(image, mask, jax.random.PRNGKey(0)))
-    np.asarray(pipe(image, mask, jax.random.PRNGKey(1)))
+    # compile + warmup.  NOTE: block_until_ready() does not reliably block
+    # through the axon TPU relay on this host, and materializing the full
+    # canvas adds ~0.2s of tunnel transfer — so timing drains the device
+    # queue by materializing a 4-byte scalar of the last output.
+    drain = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    np.asarray(drain(pipe(image, mask, jax.random.PRNGKey(0))))
+    np.asarray(drain(pipe(image, mask, jax.random.PRNGKey(1))))
 
     times = []
     for i in range(iters):
         t0 = time.time()
-        np.asarray(pipe(image, mask, jax.random.PRNGKey(2 + i)))
+        out = pipe(image, mask, jax.random.PRNGKey(2 + i))
+        np.asarray(drain(out))
         times.append(time.time() - t0)
     dt = min(times)  # best-of: excludes host jitter on the tunnel
     canvases_per_sec = batch / dt

@@ -220,7 +220,8 @@ def main(argv=None) -> int:
     # loggers
     mlog = MetricLogger(exp_dir)
     ilog = ImageLogger(os.path.join(exp_dir, "samples"), config.get("logger_freq", 200))
-    drift = TokenDriftLogger(np.asarray(params["cond"]["special_embeddings"]))
+    base_tree = params["model"] if "lora" in params and "model" in params else params
+    drift = TokenDriftLogger(np.asarray(base_tree["cond"]["special_embeddings"]))
     timer = StepTimer(trace_dir=os.path.join(exp_dir, "traces") if config.get("profile") else None)
 
     max_epochs = config.get("max_epochs", 10)

@@ -634,7 +634,10 @@ class BalancedRandomSampler:
         self.epoch = 0
         self.scene_idx = collections.defaultdict(list)
         for i, p in enumerate(pairs):
-            scene = image_dict[p["source"]].split("/")[-3]
+            # multi-view pair pkls store 'source' as an id list
+            # (extend_data_for_multiview.py); bucket by the primary source
+            src = p["source"][0] if isinstance(p["source"], (list, tuple)) else p["source"]
+            scene = image_dict[src].split("/")[-3]
             self.scene_idx[scene].append(i)
         for scene in self.scene_idx:
             if n_sample_per_scene > len(self.scene_idx[scene]):

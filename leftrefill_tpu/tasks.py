@@ -59,12 +59,15 @@ class RefInpaintTask:
         m = self.model
         ks = jax.random.split(key, 4)
         h, w = latent_hw
+        # the multi-view UNet folds views out of the batch axis: init with a
+        # batch of view_num rows
+        b = self.view_num if not self.bundle.concat_target else max(self.view_num - 1, 1)
         params = {
             "unet": jax.jit(m.unet.init)(
                 ks[0],
-                jnp.zeros((1, h, w, m.unet.in_channels)),
-                jnp.zeros((1,), jnp.int32),
-                jnp.zeros((1, 77, m.unet.context_dim)),
+                jnp.zeros((b, h, w, m.unet.in_channels)),
+                jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b, 77, m.unet.context_dim)),
             )["params"],
             "vae": jax.jit(m.vae.init)(ks[1], jnp.zeros((1, 8 * h, 8 * w, 3)))["params"],
             "cond": self._init_cond(ks[2]),
