@@ -106,10 +106,14 @@ def predict(
     pipeline.ddim_steps = ddim_steps
     pipeline.guidance_scale = scale
     pipeline.__post_init__()  # rebuild the jitted fn for new static config
-    # seeded start code (ref_inpainting_gradio.py:88-91)
-    h, w = image.shape[1] // 8, image.shape[2] // 8
+    # seeded start code (ref_inpainting_gradio.py:88-91); latent size follows
+    # the VAE's downsampling factor (8x for SD2, smaller in test configs)
+    ds = 2 ** (len(pipeline.model.vae.ddconfig.ch_mult) - 1)
+    h, w = image.shape[1] // ds, image.shape[2] // ds
     x_T = jax.random.normal(
-        jax.random.PRNGKey(seed), (num_samples, h, w, 4), dtype=np.float32
+        jax.random.PRNGKey(seed),
+        (num_samples, h, w, pipeline.model.unet.out_channels),
+        dtype=np.float32,
     )
     right = pipeline.inpaint_right_half(image, full_mask, jax.random.PRNGKey(seed), x_T=x_T)
     return [np.clip((r + 1) * 127.5, 0, 255).astype(np.uint8) for r in right]

@@ -1,0 +1,69 @@
+"""Headless serving-predict flow test (reference: ref_inpainting_gradio.py
+predict/initialize_model, driven without the UI)."""
+
+import numpy as np
+import pytest
+
+from tests.test_tasks import TINY_YAML
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from leftrefill_tpu.config import build_model_from_config
+    from leftrefill_tpu.pipeline import RefInpaintPipeline
+    from leftrefill_tpu.tasks import build_task
+
+    bundle = build_model_from_config(yaml.safe_load(TINY_YAML), dtype=jnp.float32)
+    task = build_task(bundle)
+    params = task.init_params(jax.random.PRNGKey(0), latent_hw=(8, 16))
+    return RefInpaintPipeline(
+        model=bundle.model,
+        params=params,
+        tokenizer=bundle.cond_bundle.tokenizer,
+        special_tokens=bundle.cond_bundle.special_tokens,
+        ddim_steps=4,
+        eta=1.0,
+    )
+
+
+def test_headless_predict_flow(pipeline):
+    from leftrefill_tpu.serving.gradio_app import pad_to_multiple, predict
+
+    rng = np.random.RandomState(0)
+    reference = rng.randint(0, 255, (40, 50, 3), np.uint8)  # odd sizes on purpose
+    source = rng.randint(0, 255, (48, 44, 3), np.uint8)
+    sketch = np.zeros((48, 44), np.uint8)
+    sketch[10:30, 10:30] = 255
+
+    outs = predict(
+        pipeline, reference, source, sketch,
+        ddim_steps=4, num_samples=2, scale=2.5, seed=7, img_size=32,
+    )
+    assert len(outs) == 2
+    for o in outs:
+        assert o.shape == (32, 32, 3)
+        assert o.dtype == np.uint8
+    # same seed -> identical samples per slot; different seeds differ
+    outs2 = predict(
+        pipeline, reference, source, sketch,
+        ddim_steps=4, num_samples=2, scale=2.5, seed=7, img_size=32,
+    )
+    assert np.array_equal(outs[0], outs2[0])
+    outs3 = predict(
+        pipeline, reference, source, sketch,
+        ddim_steps=4, num_samples=2, scale=2.5, seed=8, img_size=32,
+    )
+    assert not np.array_equal(outs[0], outs3[0])
+
+
+def test_pad_to_multiple():
+    from leftrefill_tpu.serving.gradio_app import pad_to_multiple
+
+    x = np.ones((100, 130, 3), np.uint8)
+    p = pad_to_multiple(x, 64)
+    assert p.shape == (128, 192, 3)
+    assert np.array_equal(p[:100, :130], x)
