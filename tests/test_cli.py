@@ -140,6 +140,7 @@ def test_train_cli_end_to_end(workdir):
             "--exp_name", "smoke",
             "--save_path", str(save),
             "--no_restore",
+            "--nchip", "2",  # per-host batch = 2*2 = 4 of the 8 samples
         ]
     )
     assert rc == 0
@@ -156,6 +157,7 @@ def test_train_cli_end_to_end(workdir):
             "--save_path", str(save),
             "--restore", "--no_restore",
             "--max_steps", "3",
+            "--nchip", "2",
         ]
     )
     assert rc == 0

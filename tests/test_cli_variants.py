@@ -221,6 +221,7 @@ def test_multiview_train_smoke(workdir):
             "--exp_name", "mv",
             "--save_path", str(save),
             "--no_restore",
+            "--nchip", "2",
         ]
     )
     assert rc == 0
@@ -238,6 +239,7 @@ def test_nvs_train_smoke(workdir):
             "--exp_name", "nvs",
             "--save_path", str(save),
             "--no_restore",
+            "--nchip", "2",
         ]
     )
     assert rc == 0
