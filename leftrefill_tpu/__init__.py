@@ -23,3 +23,26 @@ implementation is JAX-native.
 """
 
 __version__ = "0.1.0"
+
+# The public API surface (lazy to keep bare `import leftrefill_tpu` light).
+__all__ = [
+    "build_model_from_config",
+    "build_task",
+    "RefInpaintPipeline",
+]
+
+
+def __getattr__(name):
+    if name == "build_model_from_config":
+        from leftrefill_tpu.config import build_model_from_config
+
+        return build_model_from_config
+    if name == "build_task":
+        from leftrefill_tpu.tasks import build_task
+
+        return build_task
+    if name == "RefInpaintPipeline":
+        from leftrefill_tpu.pipeline import RefInpaintPipeline
+
+        return RefInpaintPipeline
+    raise AttributeError(name)

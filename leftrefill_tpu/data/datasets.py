@@ -156,7 +156,12 @@ class InpaintingCrossViewDataset:
             )
             self.mask_list = None
         else:
-            self.mask_list = sorted(glob(mask_path + "/*"), key=lambda x: x.split("/")[-1])
+            # mask_path may be omitted when every pair dir ships a mask.png
+            self.mask_list = (
+                sorted(glob(mask_path + "/*"), key=lambda x: x.split("/")[-1])
+                if mask_path
+                else None
+            )
             self.mask_sampler = None
 
     def __len__(self):

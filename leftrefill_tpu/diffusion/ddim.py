@@ -31,14 +31,6 @@ from leftrefill_tpu.diffusion.schedules import DDIMTables
 ApplyFn = Callable[[jax.Array, jax.Array, Conditioning], jax.Array]
 
 
-@dataclasses.dataclass(frozen=True)
-class DDIMConfig:
-    num_steps: int = 50
-    eta: float = 0.0
-    guidance_scale: float = 1.0
-    temperature: float = 1.0
-
-
 def _scan_tables(tables: DDIMTables) -> dict[str, np.ndarray]:
     """Per-step arrays in *scan order* (descending t: step 0 = largest t)."""
     rev = slice(None, None, -1)

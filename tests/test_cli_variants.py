@@ -244,3 +244,28 @@ def test_nvs_train_smoke(workdir):
     )
     assert rc == 0
     assert (save / "nvs" / "ckpts" / "last").exists()
+
+
+def test_multiview_eval_cli(workdir):
+    """--multiview eval path (test_multiview_inpainting.py equivalent);
+    depends on the mv train smoke having created the experiment dir."""
+    from leftrefill_tpu.cli.test import main
+
+    exp = workdir / "ck_mv" / "mv"
+    assert (exp / "model_config.yaml").exists(), "run after the mv train smoke"
+    mo = workdir / "mv_metrics"
+    rc = main(
+        [
+            "--model_path", str(exp),
+            "--test_path", str(workdir / "mvtest"),
+            "--test_size", "32",
+            "--ddim_steps", "2",
+            "--cfg", "2.5",
+            "--batch_size", "1",
+            "--multiview",
+            "--output_path", str(workdir / "mv_out"),
+            "--metric_output", str(mo),
+        ]
+    )
+    assert rc == 0
+    assert glob(str(mo / "*.txt"))
