@@ -167,3 +167,59 @@ def test_zero_extend_input_conv():
     assert grown.shape == (3, 3, 9, 320)
     assert np.all(grown[:, :, :4] == k)
     assert np.all(grown[:, :, 4:] == 0)
+
+
+def test_resblock_parity_vs_torch_composition():
+    """Full UNet ResBlock (openaimodel.py:162-274 semantics) vs a torch
+    composition of the same spec: GN32+SiLU+Conv, +emb, GN32+SiLU+Conv,
+    +1x1-skip. fp32, random weights."""
+    import torch
+    import torch.nn as tnn
+
+    import jax
+    import jax.numpy as jnp
+
+    from leftrefill_tpu.models.unet import ResBlock
+
+    cin, cout, emb_ch = 8, 16, 12
+    torch.manual_seed(0)
+    # group counts must match GroupNorm32's clamp for tiny channels:
+    # min(32, c) -> 8 and 16 groups respectively
+    gn1 = tnn.GroupNorm(8, cin)
+    conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+    emb_lin = tnn.Linear(emb_ch, cout)
+    gn2 = tnn.GroupNorm(16, cout)
+    conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+    skip = tnn.Conv2d(cin, cout, 1)
+    for m in (gn1, gn2):
+        tnn.init.normal_(m.weight, 1.0, 0.1)
+        tnn.init.normal_(m.bias, 0.0, 0.1)
+
+    x = np.random.RandomState(0).randn(2, cin, 6, 10).astype(np.float32)
+    emb = np.random.RandomState(1).randn(2, emb_ch).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x)
+        et = torch.from_numpy(emb)
+        h = conv1(tnn.functional.silu(gn1(xt)))
+        h = h + emb_lin(tnn.functional.silu(et))[:, :, None, None]
+        h = conv2(tnn.functional.silu(gn2(h)))
+        ref = (skip(xt) + h).numpy()
+
+    def t2f_conv(c):
+        return {"kernel": c.weight.detach().numpy().transpose(2, 3, 1, 0),
+                "bias": c.bias.detach().numpy()}
+
+    params = {
+        "params": {
+            "in_layers_0": {"scale": gn1.weight.detach().numpy(), "bias": gn1.bias.detach().numpy()},
+            "in_layers_2": t2f_conv(conv1),
+            "emb_layers_1": {"kernel": emb_lin.weight.detach().numpy().T, "bias": emb_lin.bias.detach().numpy()},
+            "out_layers_0": {"scale": gn2.weight.detach().numpy(), "bias": gn2.bias.detach().numpy()},
+            "out_layers_3": t2f_conv(conv2),
+            "skip_connection": t2f_conv(skip),
+        }
+    }
+    m = ResBlock(out_channels=cout)
+    out = jax.jit(m.apply)(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(emb))
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    assert np.abs(out - ref).max() < 3e-5, np.abs(out - ref).max()
