@@ -66,7 +66,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    blk_q = min(DEFAULT_BLOCK_Q, nq)
+    # VMEM budget: the fp32 score tile (blk_q x nk) + its exp'd copy dominate;
+    # halve the q block for the multi-view joint sequences (nk = 16384)
+    blk_q = min(DEFAULT_BLOCK_Q if nk <= 8192 else DEFAULT_BLOCK_Q // 2, nq)
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)

@@ -187,3 +187,28 @@ def test_eval_cli_end_to_end(workdir):
     content = open(txts[0]).read()
     assert "PSNR:" in content and "SSIM:" in content
     assert glob(str(out / "*" / "*.png"))
+
+
+def test_sample_cli(workdir):
+    """One-shot sample CLI on the trained smoke experiment."""
+    from leftrefill_tpu.cli.sample import main
+
+    exp = workdir / "ckroot" / "smoke"
+    assert (exp / "model_config.yaml").exists(), "run after the train smoke"
+    pair = workdir / "testpairs" / "000000"
+    out = workdir / "sample_out.png"
+    rc = main(
+        [
+            "--model_path", str(exp),
+            "--reference", str(pair / "source.jpg"),
+            "--source", str(pair / "target.jpg"),
+            "--mask", str(pair / "mask.png"),
+            "--out", str(out),
+            "--ddim_steps", "4",
+            "--img_size", "32",
+        ]
+    )
+    assert rc == 0
+    assert out.exists()
+    img = cv2.imread(str(out))
+    assert img.shape == (32, 32, 3)
