@@ -156,9 +156,16 @@ def main(argv=None) -> int:
         params = wrap_lora_params(params, lora)
         predicate = lora_predicate(predicate)
     state, tx = create_train_state(params, opt_config, predicate)
+    cond_builder = None
+    if is_nvs:
+        # NVS conditioning: pose token overwrite + training CFG dropout +
+        # optional refinement c_input (NVS_ldm.py get_input)
+        def cond_builder(p, batch, c_key):
+            return task.build_cond(p, batch, train=True, cfg_key=c_key)
+
     step_fn = make_train_step(
         bundle.model, tx, view_reduced=task.view_reduced, view_num=task.view_num,
-        lora_scale=lora_scale,
+        lora_scale=lora_scale, cond_builder=cond_builder,
     )
 
     def eval_params(p):

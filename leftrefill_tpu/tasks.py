@@ -344,6 +344,70 @@ class NVSTask(RefInpaintTask):
             c_input = self.refinement.apply({"params": params["refine"]}, ref_img, ref_mask)
         return Conditioning(c_concat=c_cat, c_crossattn=c_cross, c_input=c_input)
 
+    def _log_fn(self, ddim_steps: int, eta: float, guidance_scale: float):
+        """NVS sampling: pose-conditioned crossattn + hybrid-refine c_input
+        (NVS_ldm.py log_images path)."""
+        sig = ("nvs-log", ddim_steps, eta, guidance_scale)
+        if sig not in self._jit_cache:
+
+            def fn(params, image, mask, masked_image, tokens, rel_pose, uncond_tok, key):
+                m = self.model
+                batch = {
+                    "image": image, "mask": mask, "masked_image": masked_image,
+                    "tokens": tokens, "rel_pose": rel_pose,
+                }
+                cond = self.build_cond(params, batch)
+                b, h, w, _ = cond.c_concat.shape
+                shape = (b, h, w, m.unet.out_channels)
+                tables = m.schedule.ddim_tables(ddim_steps, eta=eta)
+                apply_fn = lambda x, t, c: m.apply_model(params, x, t, c)
+                if guidance_scale > 1.0:
+                    uc_cross = m.cond_model.apply({"params": params["cond"]}, uncond_tok)
+                    uc = Conditioning(
+                        c_concat=cond.c_concat, c_crossattn=uc_cross, c_input=cond.c_input
+                    )
+                    z = ddim_sample(
+                        m, apply_fn, tables, cond, key, shape,
+                        uncond=uc, guidance_scale=guidance_scale,
+                    )
+                else:
+                    z = ddim_sample(m, apply_fn, tables, cond, key, shape)
+                pred = m.decode_first_stage(params, z)
+                return jnp.clip(pred, -1.0, 1.0)
+
+            self._jit_cache[sig] = jax.jit(fn)
+        return self._jit_cache[sig]
+
+    def log_images(
+        self,
+        params: Params,
+        batch: dict,
+        N: Optional[int] = None,
+        ddim_steps: int = 50,
+        ddim_eta: float = 0.0,
+        unconditional_guidance_scale: float = 9.0,
+        key: Optional[jax.Array] = None,
+    ) -> dict:
+        n = N or batch["image"].shape[0]
+        key = key if key is not None else jax.random.PRNGKey(42)
+        fn = self._log_fn(ddim_steps, ddim_eta, unconditional_guidance_scale)
+        pred = fn(
+            params,
+            jnp.asarray(batch["image"][:n]),
+            jnp.asarray(batch["mask"][:n]),
+            jnp.asarray(batch["masked_image"][:n]),
+            jnp.asarray(batch["tokens"][:n]),
+            jnp.asarray(batch["rel_pose"][:n]),
+            jnp.asarray(self.uncond_tokens(n)),
+            key,
+        )
+        return {
+            "pred": pred,
+            "origin_image": jnp.asarray(batch["image"][:n]),
+            "masked_image": jnp.asarray(batch["masked_image"][:n]),
+            "mask": jnp.asarray(batch["mask"][:n]),
+        }
+
     def update_mask_curriculum(self, dataset, step: int):
         """Mask-rate warmup: the live dataset's complete_mask_rate ramps with
         training step (NVS_ldm.py:299-306)."""

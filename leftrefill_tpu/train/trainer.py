@@ -150,6 +150,7 @@ def compute_loss(
     view_reduced: bool = False,
     view_num: int = 1,
     lora_scale: float = 1.0,
+    cond_builder=None,
 ) -> tuple[jax.Array, dict]:
     """One forward loss (shared_step semantics, ddpm.py:849-863, 900-935).
 
@@ -159,11 +160,16 @@ def compute_loss(
     view 0 (the target) kept (multiview_ref_inpainting_ldm.py:38-91).
     """
     params = _effective_params(model, params, lora_scale)
-    t_key, n_key = jax.random.split(key)
+    t_key, n_key, c_key = jax.random.split(key, 3)
     z = model.encode_first_stage(params, batch["image"])
-    cond = model.build_inpaint_cond(
-        params, batch["tokens"], batch["mask"], batch["masked_image"]
-    )
+    if cond_builder is not None:
+        # task-specific conditioning (NVS: pose token + CFG dropout + c_input,
+        # NVS_ldm.py get_input)
+        cond = cond_builder(params, batch, c_key)
+    else:
+        cond = model.build_inpaint_cond(
+            params, batch["tokens"], batch["mask"], batch["masked_image"]
+        )
     b = z.shape[0]
     t = jax.random.randint(t_key, (b,), 0, model.schedule.num_timesteps)
     noise = jax.random.normal(n_key, z.shape, z.dtype)
@@ -183,6 +189,7 @@ def make_train_step(
     view_num: int = 1,
     donate: bool = True,
     lora_scale: float = 1.0,
+    cond_builder=None,
 ):
     """Build the jitted train step.  Under a Mesh with the batch sharded over
     'data' and params replicated, jit emits the grad all-reduce.  When
@@ -193,6 +200,7 @@ def make_train_step(
             return compute_loss(
                 model, p, batch, key,
                 view_reduced=view_reduced, view_num=view_num, lora_scale=lora_scale,
+                cond_builder=cond_builder,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
