@@ -36,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--metric_size", default=512, type=int)
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--limit", default=0, type=int, help="cap #batches (0 = all)")
+    p.add_argument("--manual_pairs_x4", action="store_true",
+                   help="run each sample 4x (test_inpainting.py:132-137)")
     p.add_argument("--save_single", action="store_true")
     p.add_argument("--multiview", action="store_true")
     p.add_argument("--output_path", default="./outputs", type=str)
@@ -118,14 +120,36 @@ def main(argv=None) -> int:
     for bi, batch in enumerate(loader):
         if args.multiview and batch["image"].ndim == 5:
             batch = flatten_views(batch)
+        if args.manual_pairs_x4:
+            batch = {
+                k: np.repeat(v, 4, axis=0) if isinstance(v, np.ndarray) else v
+                for k, v in batch.items()
+            }
         log = task.log_images(
             batch=batch, params=params, ddim_steps=args.ddim_steps,
             ddim_eta=args.eta, unconditional_guidance_scale=args.cfg,
             key=jax.random.PRNGKey(args.seed + bi),
         )
-        pred = np.asarray(log["pred"]).reshape(-1, *np.asarray(log["pred"]).shape[-3:])
-        origin = np.asarray(log["origin_image"]).reshape(pred.shape)
-        mask = np.asarray(log["mask"]).reshape(pred.shape[:-1] + (1,))
+        pred = np.asarray(log["pred"], np.float32)
+        pred = pred.reshape(-1, *pred.shape[-3:])
+        origin = np.asarray(log["origin_image"], np.float32).reshape(pred.shape)
+        mask = np.asarray(log["mask"], np.float32).reshape(pred.shape[:-1] + (1,))
+        if args.metric_size < args.test_size:
+            # area-downsample before metrics (test_inpainting.py:142-146)
+            import cv2
+
+            scale = args.metric_size / args.test_size
+
+            def _area(x):
+                return np.stack(
+                    [
+                        cv2.resize(im, None, fx=scale, fy=scale, interpolation=cv2.INTER_AREA)
+                        for im in x
+                    ]
+                )
+
+            pred, origin = _area(pred), _area(origin)
+            mask = _area(mask[..., 0])[..., None]
         m = jcomposite(jnp.asarray(pred), jnp.asarray(origin), jnp.asarray(mask))
         psnr.extend(np.asarray(m["psnr"]).tolist())
         ssim.extend(np.asarray(m["ssim"]).tolist())

@@ -212,3 +212,29 @@ def test_sample_cli(workdir):
     assert out.exists()
     img = cv2.imread(str(out))
     assert img.shape == (32, 32, 3)
+
+
+def test_eval_cli_metric_size_and_x4(workdir):
+    """--metric_size area-downsampling + --manual_pairs_x4 repetition
+    (test_inpainting.py:132-146)."""
+    from leftrefill_tpu.cli.test import main
+
+    exp = workdir / "ckroot" / "smoke"
+    mo = workdir / "metric_outputs_x4"
+    rc = main(
+        [
+            "--model_path", str(exp),
+            "--test_path", str(workdir / "testpairs"),
+            "--test_size", "32",
+            "--metric_size", "16",
+            "--ddim_steps", "4",
+            "--batch_size", "1",
+            "--manual_pairs_x4",
+            "--save_single",
+            "--output_path", str(workdir / "out_x4"),
+            "--metric_output", str(mo),
+        ]
+    )
+    assert rc == 0
+    # 4 singles per batch at metric... singles saved at test_size crop
+    assert len(glob(str(workdir / "out_x4" / "*" / "*.png"))) >= 4
