@@ -47,12 +47,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # usual row-max shift costs two extra VPU passes over the [blk_q, Nk]
     # tile (measured 42% of kernel time at Nk=8192).  exp(s)/sum(exp(s)) is
     # *mathematically identical* to softmax whenever it doesn't overflow:
-    # fp32 exp is finite to s<=88 and the row sum stays < 8192*e^60 << fp32
-    # max, so clamping logits at 60 is exact for any realistic attention
+    # fp32 exp is finite to s<=88 and the row sum stays < 16384*e^75 < fp32
+    # max, so clamping logits at 75 is exact for any realistic attention
     # logit (SD2 logits are <~50) and degrades gracefully instead of
     # producing inf beyond it.  One fused min+exp pass instead of
     # reduce+subtract+exp.
-    p = jnp.exp(jnp.minimum(s, 60.0))
+    p = jnp.exp(jnp.minimum(s, 75.0))
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype),
