@@ -27,9 +27,16 @@ import numpy as np
 import yaml
 
 
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+DEFAULT_CONFIG = os.path.join(REPO_ROOT, "configs", "ref_inpainting_training_config.yaml")
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Config")
-    p.add_argument("--config_file", default=None, type=str, help="training config yaml")
+    p.add_argument(
+        "--config_file", default=DEFAULT_CONFIG, type=str,
+        help="training config yaml (default: the shipped 1-ref config)",
+    )
     p.add_argument("--exp_name", default=None, type=str, required=True)
     p.add_argument("--save_path", default="./check_points", type=str)
     p.add_argument("--nchip", default=0, type=int, help="device count (0 = all local)")
@@ -51,6 +58,14 @@ def main(argv=None) -> int:
     else:
         config = yaml.safe_load(open(args.config_file))
         model_config_path = config["model_config"]
+        if not os.path.isabs(model_config_path) and not os.path.exists(model_config_path):
+            # training configs name the model config relative to the repo
+            # root (reference convention); resolve from the config file's dir
+            cand = os.path.normpath(
+                os.path.join(os.path.dirname(os.path.abspath(args.config_file)), "..", model_config_path)
+            )
+            if os.path.exists(cand):
+                model_config_path = cand
         os.makedirs(exp_dir, exist_ok=True)
         # copy configs for reproducibility (train_inpainting.py:110-113)
         shutil.copy(args.config_file, os.path.join(exp_dir, "training_config.yaml"))

@@ -85,9 +85,12 @@ class RefInpaintTask:
         return params
 
     def _init_cond(self, key: jax.Array):
-        return jax.jit(self.model.cond_model.init)(
-            key, jnp.zeros((1, 77), jnp.int32)
-        )["params"]
+        cm = self.model.cond_model
+        if getattr(cm, "deep_prompt", False):
+            tok = jnp.zeros((1, cm.cross_attn_layers, 77), jnp.int32)
+        else:
+            tok = jnp.zeros((1, 77), jnp.int32)
+        return jax.jit(cm.init)(key, tok)["params"]
 
     def _init_special_embeddings(self, params: Params) -> Params:
         cb = self.bundle.cond_bundle
@@ -116,12 +119,14 @@ class RefInpaintTask:
 
     def uncond_tokens(self, n: int) -> np.ndarray:
         """get_unconditional_conditioning: empty prompt
-        (ref_inpainting_ldm.py:30-35); deep-prompt variants replicate per
-        layer."""
-        t = self.tokenizer.tokenize("")
+        (ref_inpainting_ldm.py:30-35).  Deep-prompt mode replicates the empty
+        prompt per cross-attention layer -> [n, layers, 77], the token layout
+        PromptCLIPEmbedder expects (Refill_modules.py:121-127)."""
+        t = self.tokenizer.tokenize("")  # [1, 77]
         if getattr(self.model.cond_model, "deep_prompt", False):
-            t = np.repeat(t[None], self.model.cond_model.cross_attn_layers, axis=0)
-            return np.repeat(t[None] if t.ndim == 2 else t[:1], n, axis=0)
+            layers = self.model.cond_model.cross_attn_layers
+            per_layer = np.repeat(t, layers, axis=0)  # [layers, 77]
+            return np.repeat(per_layer[None], n, axis=0)  # [n, layers, 77]
         return np.repeat(t, n, axis=0)
 
     # ------------------------------------------------------------------
@@ -243,9 +248,12 @@ class MultiViewRefInpaintTask(RefInpaintTask):
         return flatten_views(batch)
 
     def log_images(self, params, batch, N=None, **kw) -> dict:
+        """N limits the number of *scenes* logged (each scene spans v flat
+        rows), honoring multiview_ref_inpainting_ldm.py:113."""
         flat = self.flatten_batch(batch) if batch["image"].ndim == 5 else batch
         v = self.view_num if not self.bundle.concat_target else self.view_num - 1
-        log = super().log_images(params, flat, N=None, **kw)
+        n_rows = None if N is None else min(N, flat["image"].shape[0] // v) * v
+        log = super().log_images(params, flat, N=n_rows, **kw)
         # split per view: [B*V,...] -> [B,V,...] (multiview_ref_inpainting_ldm.py:113-178)
         out = {}
         for k, val in log.items():

@@ -11,8 +11,10 @@ from leftrefill_tpu.config import (
     load_yaml,
 )
 
-REF_CFG = "/root/reference/configs/ref_inpainting.yaml"
+REPO_ROOT = os.path.join(os.path.dirname(__file__), "..")
+REF_CFG = os.path.join(REPO_ROOT, "configs", "ref_inpainting.yaml")
 REF_MODEL_CFG = "/root/reference/check_points/ref_guided_inpainting/model_config.yaml"
+UPSTREAM_CFG = "/root/reference/configs/ref_inpainting.yaml"
 
 
 def test_unknown_target_raises():
@@ -22,8 +24,7 @@ def test_unknown_target_raises():
         instantiate_from_config({"params": {}})
 
 
-@pytest.mark.skipif(not os.path.exists(REF_CFG), reason="reference configs absent")
-def test_reference_yaml_builds_bundle():
+def test_repo_yaml_builds_bundle():
     bundle = build_model_from_config(REF_CFG)
     m = bundle.model
     # SD2-inpainting structure from the YAML
@@ -47,3 +48,27 @@ def test_shipped_model_config_builds():
     bundle = build_model_from_config(REF_MODEL_CFG)
     assert bundle.model.unet.in_channels == 9
     assert len(bundle.cond_bundle.special_tokens) == 50
+
+
+@pytest.mark.skipif(
+    not os.path.exists(UPSTREAM_CFG), reason="reference checkout absent"
+)
+@pytest.mark.parametrize(
+    "name",
+    ["ref_inpainting", "multiview_ref_inpainting", "novel_view_synthesis"],
+)
+def test_repo_configs_match_reference(name):
+    """The shipped configs must stay semantically identical to the upstream
+    model YAMLs (same model params tree, ignoring comments/ordering)."""
+    repo = load_yaml(os.path.join(REPO_ROOT, "configs", f"{name}.yaml"))
+    ref = load_yaml(f"/root/reference/configs/{name}.yaml")
+    assert repo["model"]["target"] == ref["model"]["target"]
+
+    def norm(tree):
+        if isinstance(tree, dict):
+            return {k: norm(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [norm(v) for v in tree]
+        return tree
+
+    assert norm(repo["model"]["params"]) == norm(ref["model"]["params"])

@@ -96,10 +96,9 @@ def test_multiview_unet_params_match_base_unet():
     assert out.shape == (2, 8, 16, 4)
 
 
-MV_CFG = "/root/reference/configs/multiview_ref_inpainting.yaml"
+MV_CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "multiview_ref_inpainting.yaml")
 
 
-@pytest.mark.skipif(not os.path.exists(MV_CFG), reason="reference configs absent")
 def test_multiview_yaml_builds():
     from leftrefill_tpu.config import build_model_from_config
 

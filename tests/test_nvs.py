@@ -186,10 +186,9 @@ def test_structure_ddim_phases():
     assert not np.allclose(o_all, o_none)
 
 
-NVS_CFG = "/root/reference/configs/novel_view_synthesis.yaml"
+NVS_CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "novel_view_synthesis.yaml")
 
 
-@pytest.mark.skipif(not os.path.exists(NVS_CFG), reason="reference configs absent")
 def test_nvs_yaml_builds():
     from leftrefill_tpu.config import build_model_from_config
 

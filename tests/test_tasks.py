@@ -226,3 +226,61 @@ def test_prompt_only_checkpoint_roundtrip(task, tmp_path):
         np.asarray(params["cond"]["special_embeddings"]),
     )
     assert not unexpected
+
+
+def test_deep_prompt_uncond_tokens_shape():
+    """Deep-prompt uncond must be [n, layers, 77] (Refill_modules.py:121-127;
+    the embedder consumes [B, n_layer, L])."""
+    cfg = yaml.safe_load(TINY_YAML)
+    cp = cfg["model"]["params"]["cond_stage_config"]["params"]
+    cp["deep_prompt"] = True
+    cp["cross_attn_layers"] = 2
+    bundle = build_model_from_config(cfg, dtype=jnp.float32)
+    t = build_task(bundle)
+    u = t.uncond_tokens(3)
+    assert u.shape == (3, 2, 77)
+    # and the embedder accepts it: [B, n_layer, L] -> [B, n_layer, L, width]
+    params = t.init_params(jax.random.PRNGKey(0), latent_hw=(8, 16))
+    out = t.model.cond_model.apply({"params": params["cond"]}, jnp.asarray(u))
+    assert out.shape == (3, 2, 77, 24)
+
+
+MV_TINY_YAML = TINY_YAML.replace(
+    "inpainting_ldm.ref_inpainting_ldm.RefInpaintLDM",
+    "inpainting_ldm.multiview_ref_inpainting_ldm.RefInpaintLDM",
+).replace(
+    "ldm.modules.diffusionmodules.openaimodel.UNetModel",
+    "ldm.modules.diffusionmodules.multiview_unet.MultiViewUnetModel",
+)
+
+
+def test_multiview_log_images_honors_N():
+    """log_images(N) limits to N scenes (multiview_ref_inpainting_ldm.py:113)."""
+    cfg = yaml.safe_load(MV_TINY_YAML)
+    p = cfg["model"]["params"]
+    p["view_num"] = 2
+    p["reduced_loss"] = True
+    p["unet_config"]["params"]["view_num"] = 2
+    bundle = build_model_from_config(cfg, dtype=jnp.float32)
+    t = build_task(bundle)
+    assert isinstance(t, MultiViewRefInpaintTask)
+    params = t.init_params(jax.random.PRNGKey(0), latent_hw=(4, 8))
+
+    b, v, s = 2, 2, 16
+    rng = np.random.RandomState(0)
+    image = rng.uniform(-1, 1, (b, v, s, 2 * s, 3)).astype(np.float32)
+    mask = np.zeros((b, v, s, 2 * s, 1), np.float32)
+    mask[:, 0, :, s:] = 1.0
+    prompt = " ".join(t.special_tokens)
+    tokens = np.stack([t.prompt_tokens([prompt] * v) for _ in range(b)])
+    batch = {
+        "image": image,
+        "mask": mask,
+        "masked_image": image * (mask < 0.5),
+        "tokens": tokens,
+    }
+    log = t.log_images(params, batch, N=1, ddim_steps=2,
+                       unconditional_guidance_scale=1.0)
+    # one scene, split back into v views
+    assert log["pred"].shape[:2] == (1, v)
+    assert log["origin_image"].shape[:2] == (1, v)
