@@ -85,7 +85,8 @@ class NVSUnetModel(UNetModel):
         return jnp.concatenate([h[:, :, : w // 2], h[:, :, -(w // 2) :]], axis=2)
 
     def _is_resample(self, layers) -> bool:
-        return isinstance(layers[-1], (Downsample, Upsample))
+        kind, _ = layers[-1]
+        return kind == "resample"
 
     def __call__(
         self,

@@ -38,7 +38,34 @@ Dtype = Any
 PAD1 = ((1, 1), (1, 1))
 
 
-def conv3x3(features: int, *, strides: int = 1, zero: bool = False, dtype: Dtype, name: str | None = None) -> nn.Conv:
+class Conv3x3(nn.Module):
+    """3x3 stride-1 pad-1 conv with the same param layout as nn.Conv
+    (kernel HWIO + bias), dispatched to the Pallas conv kernel on TPU
+    (ops/conv.py) and the XLA conv elsewhere — numerically identical."""
+
+    features: int
+    zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from leftrefill_tpu.ops.conv import conv3x3_apply
+
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
+            (3, 3, ci, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        return conv3x3_apply(x, kernel.astype(self.dtype), bias.astype(self.dtype))
+
+
+def conv3x3(features: int, *, strides: int = 1, zero: bool = False, dtype: Dtype, name: str | None = None):
+    if strides == 1:
+        return Conv3x3(features=features, zero=zero, dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(3, 3),
@@ -76,13 +103,24 @@ def dense(features: int, *, use_bias: bool = True, zero: bool = False, dtype: Dt
 
 
 class LayerNormF32(nn.Module):
-    """LayerNorm computed in fp32 (torch autocast behaviour), output cast back."""
+    """LayerNorm computed in fp32 (torch autocast behaviour), output cast back.
+
+    Params are created directly as scale/bias so the tree path is
+    ``<name>/{scale,bias}``, mirroring the torch key ``norm1.weight`` -> flax
+    ``norm1/scale`` that the checkpoint converter emits (a nested nn.LayerNorm
+    would land them at ``<name>/LayerNorm_0/*`` and silently never load)."""
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32)(x)
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return y.astype(x.dtype)
 
 
@@ -181,13 +219,18 @@ class GEGLUFeedForward(nn.Module):
 
 class CrossAttention(nn.Module):
     """Projection + multi-head attention (attention.py:147-250).  The actual
-    attention math is in ops/attention.py (fp32 softmax; Pallas flash on TPU)."""
+    attention math is in ops/attention.py (fp32 softmax; Pallas flash on TPU).
+
+    ``attn_fn`` optionally replaces the attention math (same signature as
+    ops.attention.multi_head_attention) — the multi-view block injects the
+    context-parallel all-gather-KV attention here (parallel/context.py)."""
 
     heads: int
     dim_head: int
     query_dim: int
     context_dim: Optional[int] = None  # None => self-attention
     dtype: Dtype = jnp.float32
+    attn_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -209,7 +252,8 @@ class CrossAttention(nn.Module):
 
             probs = attention_probs(q, k, self.heads)  # [B, Nq, Nk]
             self.sow("intermediates", "attn_score", probs)
-        out = multi_head_attention(q, k, v, self.heads)
+        fn = self.attn_fn if self.attn_fn is not None else multi_head_attention
+        out = fn(q, k, v, self.heads)
         return dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
@@ -225,6 +269,11 @@ class BasicTransformerBlock(nn.Module):
     disable_self_attn: bool = False
     dtype: Dtype = jnp.float32
 
+    def _self_attn_fn(self):
+        """Hook: override the self-attention math (the multi-view block
+        returns the context-parallel attention when a view mesh is set)."""
+        return None
+
     def setup(self):
         self.attn1 = CrossAttention(
             heads=self.n_heads,
@@ -232,6 +281,7 @@ class BasicTransformerBlock(nn.Module):
             query_dim=self.dim,
             context_dim=self.context_dim if self.disable_self_attn else None,
             dtype=self.dtype,
+            attn_fn=self._self_attn_fn(),
             name="attn1",
         )
         self.attn2 = CrossAttention(
@@ -375,9 +425,12 @@ class UNetModel(nn.Module):
             )
 
         nrb = self._num_res_blocks()
+        # Each block is a list of ("kind", module) pairs; the kind tag makes
+        # _apply_seq dispatch explicit (remat wrappers hide the class, so
+        # isinstance checks are unreliable).  Kinds: conv | res | st | resample.
         # --- input blocks ---------------------------------------------------
         input_blocks: list[list] = [
-            [conv3x3(self.model_channels, dtype=self.dtype, name="input_blocks_0_0")]
+            [("conv", conv3x3(self.model_channels, dtype=self.dtype, name="input_blocks_0_0"))]
         ]
         input_block_chans = [self.model_channels]
         ch = self.model_channels
@@ -386,27 +439,33 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for _ in range(nrb[level]):
                 layers = [
-                    res_cls(
-                        out_channels=mult * self.model_channels,
-                        use_scale_shift_norm=self.use_scale_shift_norm,
-                        dtype=self.dtype,
-                        name=f"input_blocks_{idx}_0",
+                    (
+                        "res",
+                        res_cls(
+                            out_channels=mult * self.model_channels,
+                            use_scale_shift_norm=self.use_scale_shift_norm,
+                            dtype=self.dtype,
+                            name=f"input_blocks_{idx}_0",
+                        ),
                     )
                 ]
                 ch = mult * self.model_channels
                 if ds in self.attention_resolutions:
-                    layers.append(make_st(ch, f"input_blocks_{idx}_1"))
+                    layers.append(("st", make_st(ch, f"input_blocks_{idx}_1")))
                 input_blocks.append(layers)
                 input_block_chans.append(ch)
                 idx += 1
             if level != len(self.channel_mult) - 1:
                 input_blocks.append(
                     [
-                        Downsample(
-                            ch,
-                            use_conv=self.conv_resample,
-                            dtype=self.dtype,
-                            name=f"input_blocks_{idx}_0",
+                        (
+                            "resample",
+                            Downsample(
+                                ch,
+                                use_conv=self.conv_resample,
+                                dtype=self.dtype,
+                                name=f"input_blocks_{idx}_0",
+                            ),
                         )
                     ]
                 )
@@ -418,9 +477,9 @@ class UNetModel(nn.Module):
 
         # --- middle ---------------------------------------------------------
         self.middle_block = [
-            res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0"),
-            make_st(ch, "middle_block_1"),
-            res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2"),
+            ("res", res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0")),
+            ("st", make_st(ch, "middle_block_1")),
+            ("res", res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2")),
         ]
 
         # --- output blocks --------------------------------------------------
@@ -431,25 +490,31 @@ class UNetModel(nn.Module):
             for i in range(nrb[level] + 1):
                 chans.pop()
                 layers = [
-                    res_cls(
-                        out_channels=self.model_channels * mult,
-                        use_scale_shift_norm=self.use_scale_shift_norm,
-                        dtype=self.dtype,
-                        name=f"output_blocks_{oidx}_0",
+                    (
+                        "res",
+                        res_cls(
+                            out_channels=self.model_channels * mult,
+                            use_scale_shift_norm=self.use_scale_shift_norm,
+                            dtype=self.dtype,
+                            name=f"output_blocks_{oidx}_0",
+                        ),
                     )
                 ]
                 ch = self.model_channels * mult
                 li = 1
                 if ds in self.attention_resolutions:
-                    layers.append(make_st(ch, f"output_blocks_{oidx}_{li}"))
+                    layers.append(("st", make_st(ch, f"output_blocks_{oidx}_{li}")))
                     li += 1
                 if level and i == nrb[level]:
                     layers.append(
-                        Upsample(
-                            ch,
-                            use_conv=self.conv_resample,
-                            dtype=self.dtype,
-                            name=f"output_blocks_{oidx}_{li}",
+                        (
+                            "resample",
+                            Upsample(
+                                ch,
+                                use_conv=self.conv_resample,
+                                dtype=self.dtype,
+                                name=f"output_blocks_{oidx}_{li}",
+                            ),
                         )
                     )
                     ds //= 2
@@ -461,22 +526,17 @@ class UNetModel(nn.Module):
         self.out_2 = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_2")
 
     def _apply_seq(self, layers, h, emb, context, **kwargs):
-        for layer in layers:
-            if isinstance(layer, ResBlock) or (
-                hasattr(layer, "inner_fn") and getattr(layer, "__name__", "") == "ResBlock"
-            ):
+        """TimestepEmbedSequential dispatch (openaimodel.py:73-87), made
+        explicit with the kind tags attached in setup."""
+        for kind, layer in layers:
+            if kind == "res":
                 h = layer(h, emb)
-            elif isinstance(layer, SpatialTransformer):
+            elif kind == "st":
                 h = layer(h, context, **kwargs)
-            elif isinstance(layer, (Upsample, Downsample)):
+            elif kind in ("conv", "resample"):
                 h = layer(h)
-            elif isinstance(layer, nn.Conv):
-                h = layer(h)
-            else:  # remat-wrapped classes keep their call signature
-                try:
-                    h = layer(h, emb)
-                except TypeError:
-                    h = layer(h, context, **kwargs)
+            else:
+                raise ValueError(f"unknown layer kind {kind!r}")
         return h
 
     def __call__(
