@@ -1,20 +1,38 @@
 """Pallas TPU flash-attention kernel for the stitched-canvas self-attention.
 
 TPU-native replacement for the reference's xformers
-``memory_efficient_attention`` CUDA kernel (attention.py:236).  The LeftRefill
-self-attention shapes are bounded and lane-friendly: the 64x128 stitched
-latent gives sequences {8192, 2048, 512} at head_dim 64, and multi-view joint
-self-attention peaks at 4*4096 = 16384 tokens — small enough that each head's
-full K/V tile fits comfortably in VMEM.  The kernel therefore blocks only the
-query dimension and keeps K/V resident across the query grid (their BlockSpec
-index is constant in the q-block coordinate, so Mosaic does not re-DMA them),
-computing an exact fp32 softmax per q-block.  This is the fastest shape for
-this size class: no online-softmax rescale passes, one MXU matmul pair per
-q-block.
+``memory_efficient_attention`` CUDA kernel (attention.py:236), forward AND
+backward.  The LeftRefill self-attention shapes are bounded and lane-friendly:
+the 64x128 stitched latent gives sequences {8192, 2048, 512} at head_dim 64,
+and multi-view joint self-attention peaks at 4*4096 = 16384 tokens — small
+enough that each head's full K/V tile fits comfortably in VMEM.  The kernels
+therefore block only ONE sequence dimension and keep the other operand fully
+resident (its BlockSpec index is constant in the blocked coordinate, so Mosaic
+does not re-DMA it), computing an exact fp32 softmax per block.  This is the
+fastest shape for this size class: no online-softmax rescale passes, one MXU
+matmul pair per block.
 
-Backward: a custom VJP recomputes attention with the plain-XLA path and lets
-XLA differentiate it (flash-recompute).  Training memory is bounded by remat;
-the Pallas kernel is the inference hot path.
+softmax guard: the usual row-max shift costs two extra VPU passes over the
+[blk, N] tile (measured 42% of forward kernel time at N=8192).
+exp(s)/sum(exp(s)) is *mathematically identical* to softmax whenever it does
+not overflow: fp32 exp is finite to s<=88 and the row sum stays < 16384*e^75 <
+fp32 max, so clamping logits at 75 is exact for any realistic attention logit
+(SD2 logits are <~50) and degrades gracefully instead of producing inf beyond
+it.  One fused min+exp pass instead of reduce+subtract+exp.
+
+Backward (memory-bounded, xformers-equivalent for training at N=8192+):
+the forward saves the softmax row sums ``l`` alongside o; the backward runs
+two Pallas kernels that re-form the probability tiles blockwise —
+
+  dq kernel (grid over q blocks, K/V resident):
+    p  = exp(min(qK^T, 75)) / l
+    dP = dO V^T ;  dS = p * (dP - D) ;  dq = scale * dS K
+  dk/dv kernel (grid over k blocks, Q/dO resident):
+    dV_blk = p^T dO ;  dK_blk = scale * dS^T q
+
+with D = rowsum(dO * O) computed once in XLA (one elementwise pass).  No
+[N, N] tensor is ever materialized in HBM, which is what makes a train step
+at the full 8192-token sequence fit on one chip.
 """
 
 from __future__ import annotations
@@ -29,9 +47,26 @@ from jax.experimental.pallas import tpu as pltpu
 # 128 keeps the fp32 score tile (blk_q x Nk) at <=4MB for Nk=8192 so q/k/v
 # tiles + scores + probs fit the ~16MB VMEM budget even at batch 16.
 DEFAULT_BLOCK_Q = 128
+CLAMP = 75.0
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _pick_block(n_other: int, n_blocked: int) -> int:
+    """Block size for the blocked sequence dim given the resident dim length:
+    the fp32 score tile (blk x n_other) dominates VMEM."""
+    if n_other <= 8192:
+        blk = DEFAULT_BLOCK_Q
+    elif n_other <= 16384:
+        blk = DEFAULT_BLOCK_Q // 2
+    else:
+        blk = DEFAULT_BLOCK_Q // 4
+    return min(blk, n_blocked)
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
     # fold the softmax scale into q (a [blk_q, D] multiply) instead of the
     # [blk_q, Nk] score tile — saves a full-tile VPU pass
     q = q_ref[0].astype(jnp.float32) * scale
@@ -43,16 +78,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # fp32 softmax island (reference ATTN_PRECISION=fp32 semantics).  The
-    # usual row-max shift costs two extra VPU passes over the [blk_q, Nk]
-    # tile (measured 42% of kernel time at Nk=8192).  exp(s)/sum(exp(s)) is
-    # *mathematically identical* to softmax whenever it doesn't overflow:
-    # fp32 exp is finite to s<=88 and the row sum stays < 16384*e^75 < fp32
-    # max, so clamping logits at 75 is exact for any realistic attention
-    # logit (SD2 logits are <~50) and degrades gracefully instead of
-    # producing inf beyond it.  One fused min+exp pass instead of
-    # reduce+subtract+exp.
-    p = jnp.exp(jnp.minimum(s, 75.0))
+    p = jnp.exp(jnp.minimum(s, CLAMP))
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype),
@@ -61,37 +87,187 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
+    l_ref[0] = l  # [blk_q, 1]
 
 
-def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+def _flash_forward(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (o [B,H,Nq,D], l [B*H,Nq,1] fp32 softmax row sums).  l keeps a
+    trailing singleton dim: Mosaic requires the last two block dims to divide
+    (8,128) or equal the array dims, which (blk_q, 1) satisfies."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    # VMEM budget: the fp32 score tile (blk_q x nk) + its exp'd copy dominate;
-    # halve the q block for the multi-view joint sequences (nk = 16384)
-    blk_q = min(DEFAULT_BLOCK_Q if nk <= 8192 else DEFAULT_BLOCK_Q // 2, nq)
+    blk_q = _pick_block(nk, nq)
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
     vf = v.reshape(b * h, nk, d)
 
     grid = (b * h, nq // blk_q)
-    out = pl.pallas_call(
+    o, l = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * nq * nk * d,
             bytes_accessed=(qf.size + kf.size + vf.size + b * h * nq * d) * q.dtype.itemsize,
             transcendentals=b * h * nq * nk,
         ),
     )(qf, kf, vf)
-    return out.reshape(b, h, nq, d)
+    return o.reshape(b, h, nq, d), l
+
+
+# ---------------------------------------------------------------------------
+# backward
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0]  # [Nk, D] resident
+    v = v_ref[0]
+    do = do_ref[0]  # [blk_q, D]
+    l = l_ref[0]  # [blk_q, 1]
+    dcap = dd_ref[0]  # [blk_q, 1] = rowsum(dO * O)
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp(jnp.minimum(s, CLAMP)) / l
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dcap)
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    k_ref, v_ref, q_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref, *, scale
+):
+    k = k_ref[0]  # [blk_k, D]
+    v = v_ref[0]
+    q = q_ref[0].astype(jnp.float32) * scale  # [Nq, D] resident
+    do = do_ref[0]  # [Nq, D] resident
+    l = l_ref[0]  # [Nq, 1]
+    dcap = dd_ref[0]  # [Nq, 1]
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Nq, blk_k]
+    p = jnp.exp(jnp.minimum(s, CLAMP)) / l
+    pv = p.astype(do.dtype)
+    dv = jax.lax.dot_general(
+        pv, do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk_k, D]
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Nq, blk_k]
+    ds = p * (dp - dcap)
+    dk = jax.lax.dot_general(
+        ds.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk_k, D]
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, l, g, scale):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+    gf = g.reshape(b * h, nq, d).astype(q.dtype)
+    lf = l  # [b*h, nq, 1]
+    # D = rowsum(dO * O): one fused elementwise pass in XLA
+    df = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    ).reshape(b * h, nq, 1)
+
+    blk_q = _pick_block(nk, nq)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        grid=(b * h, nq // blk_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * nq * nk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + 2 * gf.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(qf, kf, vf, gf, lf, df)
+
+    blk_k = _pick_block(nq, nk)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, nk, d), v.dtype),
+        ),
+        grid=(b * h, nk // blk_k),
+        in_specs=[
+            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * nq * nk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + gf.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(kf, vf, qf, gf, lf, df)
+
+    return (
+        dq.reshape(b, h, nq, d),
+        dk.reshape(b, h, nk, d),
+        dv.reshape(b, h, nk, d),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public op
 
 
 def _xla_reference(q, k, v, scale):
@@ -105,17 +281,18 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> j
     """Exact attention, fp32 softmax. q/k/v: [B, H, N, D]; Nq, Nk must be
     multiples of the q block / lane tiling (callers guarantee this; the
     dispatcher in ops/attention.py falls back to XLA otherwise)."""
-    return _flash_forward(q, k, v, scale)
+    o, _ = _flash_forward(q, k, v, scale)
+    return o
 
 
 def _fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    o, l = _flash_forward(q, k, v, scale)
+    return o, (q, k, v, o, l)
 
 
 def _bwd(scale, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, l = residuals
+    return _flash_backward(q, k, v, o, l, g, scale)
 
 
 flash_attention.defvjp(_fwd, _bwd)

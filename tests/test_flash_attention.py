@@ -60,3 +60,43 @@ def test_flash_gradients_match_reference():
     g_ref = jax.grad(lambda q, k, v: jnp.sum(_xla_reference(q, k, v, scale) ** 2), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+
+
+@pytest.mark.parametrize("nq,nk", [(256, 384), (384, 256)])
+def test_flash_pallas_backward_rectangular(nq, nk):
+    """The blockwise Pallas dq/dk/dv kernels (no [N,N] HBM tensor) must match
+    the fp32-softmax reference VJP on rectangular shapes."""
+    B, H, D = 1, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (B, H, nq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, nk, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, nk, D), jnp.float32)
+    g = jax.random.normal(ks[3], (B, H, nq, D), jnp.float32)
+    scale = D**-0.5
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(lambda a, b, c: flash_attention(a, b, c, scale), q, k, v)
+        dq, dk, dv = vjp(g)
+    _, vjp_r = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale), q, k, v)
+    for got, want, name in zip((dq, dk, dv), vjp_r(g), ("dq", "dk", "dv")):
+        err = np.abs(np.asarray(got) - np.asarray(want)).max()
+        assert err < 1e-5, f"{name}: {err}"
+
+
+def test_flash_backward_bf16():
+    """bf16 inputs: grads returned in bf16, close to the fp32 reference."""
+    B, H, N, D = 1, 1, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    qf = jax.random.normal(ks[0], (B, H, N, D), jnp.float32)
+    kf = jax.random.normal(ks[1], (B, H, N, D), jnp.float32)
+    vf = jax.random.normal(ks[2], (B, H, N, D), jnp.float32)
+    g = jax.random.normal(ks[3], (B, H, N, D), jnp.float32)
+    scale = D**-0.5
+    q, k, v = (a.astype(jnp.bfloat16) for a in (qf, kf, vf))
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(lambda a, b, c: flash_attention(a, b, c, scale), q, k, v)
+        dq, dk, dv = vjp(g.astype(jnp.bfloat16))
+    assert dq.dtype == jnp.bfloat16 and dk.dtype == jnp.bfloat16
+    _, vjp_r = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale), qf, kf, vf)
+    for got, want, name in zip((dq, dk, dv), vjp_r(g), ("dq", "dk", "dv")):
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(want)).max()
+        assert err < 0.1, f"{name}: {err}"
