@@ -27,16 +27,31 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from leftrefill_tpu.models.unet import BasicTransformerBlock, UNetModel
 
 
 class MultiViewBasicTransformerBlock(BasicTransformerBlock):
-    """Self-attn over the joint view sequence; cross-attn/FF stay per-view."""
+    """Self-attn over the joint view sequence; cross-attn/FF stay per-view.
+
+    ``view_mesh``: when set (a Mesh with a 'view' axis), the joint
+    self-attention shards the views across that axis — each device keeps its
+    view's queries and all-gathers K/V over ICI (context parallelism,
+    parallel/context.py; the BASELINE north star).  Supported for the plain
+    rearranged mode; concat_target/no_rearrange run single-device."""
 
     view_num: int = 4
     concat_target: bool = False
     no_rearrange_selfattn: bool = False
+    view_mesh: Optional[Mesh] = None
+
+    def _self_attn_fn(self):
+        if self.view_mesh is None or self.concat_target or self.no_rearrange_selfattn:
+            return None
+        from leftrefill_tpu.parallel.context import make_context_parallel_attn
+
+        return make_context_parallel_attn(self.view_mesh, self.view_num)
 
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, **kwargs) -> jax.Array:
         if self.disable_self_attn:
@@ -82,17 +97,22 @@ def MultiViewUnetModel(
     view_num: int = 4,
     concat_target: bool = False,
     no_rearrange_selfattn: bool = False,
+    view_mesh: Optional[Mesh] = None,
     **unet_kwargs,
 ) -> UNetModel:
     """MultiViewUnetModel (multiview_unet.py:33-411): the UNet with
     MultiViewSpatialTransformer at every attention site.  Parameter structure
-    is identical to UNetModel, so SD2 weights load unchanged."""
+    is identical to UNetModel, so SD2 weights load unchanged.
+
+    ``view_mesh`` turns on context-parallel joint self-attention (views
+    sharded over the mesh's 'view' axis, K/V all-gathered over ICI)."""
     return UNetModel(
         block_cls=MultiViewBasicTransformerBlock,
         block_kwargs=dict(
             view_num=view_num,
             concat_target=concat_target,
             no_rearrange_selfattn=no_rearrange_selfattn,
+            view_mesh=view_mesh,
         ),
         **unet_kwargs,
     )
