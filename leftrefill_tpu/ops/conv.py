@@ -36,8 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 ConvImpl = Literal["auto", "xla", "pallas"]
-_DEFAULT_IMPL: ConvImpl = "auto"
+# env overrides for A/B benchmarking without code changes
+_DEFAULT_IMPL: ConvImpl = os.environ.get("LEFTREFILL_CONV_IMPL", "auto")  # type: ignore[assignment]
 
 # conservative VMEM budget (bytes); Mosaic double-buffers the pipelined
 # input/output blocks, accounted for in _pick_blocks
@@ -111,7 +114,20 @@ def _pick_blocks(h: int, w: int, ci: int, co: int) -> Optional[tuple[int, int, i
     return best
 
 
-def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref):
+# tap accumulation strategy: "sum9" = 9 separate MXU matmuls accumulated in
+# fp32 scratch; "concat" = build the [rows, 9*blk_ci] im2col tile in VMEM and
+# issue ONE matmul with K = 9*blk_ci (fewer MXU setups, one accumulate).
+# Switchable for on-hardware A/B measurement.
+_TAP_MODE = os.environ.get("LEFTREFILL_CONV_TAPS", "sum9")
+
+
+def set_conv_tap_mode(mode: str) -> None:
+    global _TAP_MODE
+    assert mode in ("sum9", "concat")
+    _TAP_MODE = mode
+
+
+def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref, *, tap_mode):
     ci = pl.program_id(3)
 
     @pl.when(ci == 0)
@@ -121,15 +137,31 @@ def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref):
     h = o_ref.shape[1]
     blk_w = o_ref.shape[2]
     blk_ci = x0_ref.shape[3]
-    for dx, xr in enumerate((x0_ref, x1_ref, x2_ref)):
-        for dy in range(3):
-            xs = xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
-            acc_ref[...] += jax.lax.dot_general(
-                xs,
-                w_ref[dy, dx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    if tap_mode == "concat":
+        # im2col in VMEM: taps ordered (dy, dx) to match w.reshape(9*ci, co)
+        tiles = [
+            xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
+            for dy in range(3)
+            for xr in (x0_ref, x1_ref, x2_ref)
+        ]
+        xs = jnp.concatenate(tiles, axis=1)  # [rows, 9*blk_ci]
+        wf = w_ref[...].reshape(9 * blk_ci, w_ref.shape[3])
+        acc_ref[...] += jax.lax.dot_general(
+            xs,
+            wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        for dx, xr in enumerate((x0_ref, x1_ref, x2_ref)):
+            for dy in range(3):
+                xs = xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
+                acc_ref[...] += jax.lax.dot_general(
+                    xs,
+                    w_ref[dy, dx],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     @pl.when(ci == pl.num_programs(3) - 1)
     def _write():
@@ -180,7 +212,7 @@ def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        _conv_kernel,
+        functools.partial(_conv_kernel, tap_mode=_TAP_MODE),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co), x.dtype),
         grid=grid,
         in_specs=[

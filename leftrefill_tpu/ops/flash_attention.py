@@ -38,6 +38,7 @@ at the full 8192-token sequence fit on one chip.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,16 @@ from jax.experimental.pallas import tpu as pltpu
 # tiles + scores + probs fit the ~16MB VMEM budget even at batch 16.
 DEFAULT_BLOCK_Q = 128
 CLAMP = 75.0
+
+# Debug/assert mode: row-max-shifted softmax (exact for ANY logit magnitude,
+# costs ~42% more forward time at N=8192).  Turn on to validate the clamp
+# guard, e.g. after LoRA fine-tuning ever trains attention weights.
+_SAFE_SOFTMAX = os.environ.get("LEFTREFILL_FLASH_SAFE_SOFTMAX", "0") == "1"
+
+
+def set_safe_softmax(on: bool) -> None:
+    global _SAFE_SOFTMAX
+    _SAFE_SOFTMAX = bool(on)
 
 
 def _pick_block(n_other: int, n_blocked: int) -> int:
@@ -66,7 +77,7 @@ def _pick_block(n_other: int, n_blocked: int) -> int:
 # forward
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, safe: bool):
     # fold the softmax scale into q (a [blk_q, D] multiply) instead of the
     # [blk_q, Nk] score tile — saves a full-tile VPU pass
     q = q_ref[0].astype(jnp.float32) * scale
@@ -78,7 +89,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = jnp.exp(jnp.minimum(s, CLAMP))
+    if safe:  # exact shifted softmax (debug/assert mode)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+    else:
+        p = jnp.exp(jnp.minimum(s, CLAMP))
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype),
@@ -87,15 +102,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
-    l_ref[0] = l  # [blk_q, 1]
+    # residual for the backward: the true logsumexp of the (clamped) scores,
+    # mode-independent — p_bwd = exp(s' - lse) <= 1 can never overflow
+    lse = jnp.log(l)
+    if safe:
+        lse = lse + m
+    l_ref[0] = lse  # [blk_q, 1]
 
 
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (o [B,H,Nq,D], l [B*H,Nq,1] fp32 softmax row sums).  l keeps a
-    trailing singleton dim: Mosaic requires the last two block dims to divide
-    (8,128) or equal the array dims, which (blk_q, 1) satisfies."""
+    """Returns (o [B,H,Nq,D], lse [B*H,Nq,1] fp32 softmax logsumexp).  lse
+    keeps a trailing singleton dim: Mosaic requires the last two block dims to
+    divide (8,128) or equal the array dims, which (blk_q, 1) satisfies."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
     blk_q = _pick_block(nk, nq)
@@ -106,7 +126,7 @@ def _flash_forward(
 
     grid = (b * h, nq // blk_q)
     o, l = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
@@ -134,19 +154,19 @@ def _flash_forward(
 # backward
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, scale):
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, scale, safe):
     q = q_ref[0].astype(jnp.float32) * scale
     k = k_ref[0]  # [Nk, D] resident
     v = v_ref[0]
     do = do_ref[0]  # [blk_q, D]
-    l = l_ref[0]  # [blk_q, 1]
+    lse = l_ref[0]  # [blk_q, 1] logsumexp
     dcap = dd_ref[0]  # [blk_q, 1] = rowsum(dO * O)
     s = jax.lax.dot_general(
         q, k.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = jnp.exp(jnp.minimum(s, CLAMP)) / l
+    p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
     dp = jax.lax.dot_general(
         do, v,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -162,20 +182,20 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, 
 
 
 def _flash_bwd_dkv_kernel(
-    k_ref, v_ref, q_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref, *, scale
+    k_ref, v_ref, q_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref, *, scale, safe
 ):
     k = k_ref[0]  # [blk_k, D]
     v = v_ref[0]
     q = q_ref[0].astype(jnp.float32) * scale  # [Nq, D] resident
     do = do_ref[0]  # [Nq, D] resident
-    l = l_ref[0]  # [Nq, 1]
+    lse = l_ref[0]  # [Nq, 1] logsumexp
     dcap = dd_ref[0]  # [Nq, 1]
     s = jax.lax.dot_general(
         q, k.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Nq, blk_k]
-    p = jnp.exp(jnp.minimum(s, CLAMP)) / l
+    p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
     pv = p.astype(do.dtype)
     dv = jax.lax.dot_general(
         pv, do,
@@ -213,7 +233,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
 
     blk_q = _pick_block(nk, nq)
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
         grid=(b * h, nq // blk_q),
         in_specs=[
@@ -234,7 +254,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
 
     blk_k = _pick_block(nq, nk)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, nk, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, nk, d), v.dtype),

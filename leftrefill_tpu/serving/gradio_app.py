@@ -43,11 +43,15 @@ def pad_to_multiple(img: np.ndarray, multiple: int = 64) -> np.ndarray:
 
 def initialize_model(exp_dir: str, sd_ckpt: Optional[str] = None, img_size: int = 512):
     """Build the serving pipeline from an experiment dir
-    (ref_inpainting_gradio.py:27-51)."""
+    (ref_inpainting_gradio.py:27-51).  Enables the persistent XLA compilation
+    cache so serving restarts reuse the compiled 865M graph."""
     from leftrefill_tpu.config import build_model_from_config
     from leftrefill_tpu.pipeline import RefInpaintPipeline
+    from leftrefill_tpu.runtime import enable_persistent_compilation_cache
     from leftrefill_tpu.tasks import build_task
     from leftrefill_tpu.train.checkpoints import CheckpointManager, restore_over_base
+
+    enable_persistent_compilation_cache()
 
     bundle = build_model_from_config(os.path.join(exp_dir, "model_config.yaml"))
     task = build_task(bundle)
@@ -95,7 +99,13 @@ def predict(
     m = cv2.resize(np.asarray(mask), (img_size, img_size), interpolation=cv2.INTER_NEAREST)
     if m.ndim == 3:
         m = m[..., 0]
-    m = (m > 127).astype(np.float32)[None, :, :, None]
+    # any painted pixel is hole (ref_inpainting_gradio.py:170-171: >0 -> 255)
+    m = (m > 0).astype(np.float32)
+    # pad each half to a /64 multiple with edge replication before stitching
+    # (ref_inpainting_gradio.py:142-145, 173-175); no-op at img_size 512
+    ref = pad_to_multiple(ref)
+    src = pad_to_multiple(src)
+    m = pad_to_multiple(m)[None, :, :, None]
 
     ref = (ref.astype(np.float32) / 127.5 - 1.0)[None]
     src = (src.astype(np.float32) / 127.5 - 1.0)[None]
@@ -116,6 +126,8 @@ def predict(
         dtype=np.float32,
     )
     right = pipeline.inpaint_right_half(image, full_mask, jax.random.PRNGKey(seed), x_T=x_T)
+    # drop the /64 edge padding (only present for non-512 img_size)
+    right = right[:, :img_size, :img_size]
     return [np.clip((r + 1) * 127.5, 0, 255).astype(np.uint8) for r in right]
 
 

@@ -100,3 +100,29 @@ def test_flash_backward_bf16():
     for got, want, name in zip((dq, dk, dv), vjp_r(g), ("dq", "dk", "dv")):
         err = np.abs(np.asarray(got, np.float32) - np.asarray(want)).max()
         assert err < 0.1, f"{name}: {err}"
+
+
+def test_flash_safe_softmax_mode():
+    """Debug mode (row-max shift) must be exact for logits far beyond the
+    clamp, forward and backward."""
+    from leftrefill_tpu.ops import flash_attention as fa
+
+    B, H, N, D = 1, 1, 256, 64
+    key = jax.random.PRNGKey(7)
+    q = jax.random.normal(key, (B, H, N, D), jnp.float32) * 40.0  # logits ~+150
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, D), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(key, 3), (B, H, N, D), jnp.float32)
+    scale = D**-0.5
+    fa.set_safe_softmax(True)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out, vjp = jax.vjp(lambda a, b, c: flash_attention(a, b, c, scale), q, k, v)
+            grads = vjp(g)
+        ref, vjp_r = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale), q, k, v)
+        assert np.isfinite(np.asarray(out)).all()
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-4
+        for got, want in zip(grads, vjp_r(g)):
+            assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-3
+    finally:
+        fa.set_safe_softmax(False)

@@ -1,0 +1,64 @@
+"""Runtime helpers: persistent compilation cache config + LoRA adapter store
+(serving-side adapter swap without recompilation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leftrefill_tpu.models.lora import default_target, init_lora, merge_lora
+from leftrefill_tpu.runtime import LoraAdapterStore, enable_persistent_compilation_cache
+
+
+def test_persistent_cache_config(tmp_path):
+    d = enable_persistent_compilation_cache(str(tmp_path / "xla"))
+    assert jax.config.jax_compilation_cache_dir == d
+    # idempotent; keeps the first dir
+    d2 = enable_persistent_compilation_cache(str(tmp_path / "other"))
+    assert d2 == str(tmp_path / "other") or d2 == d
+
+
+def _toy_base():
+    return {
+        "unet": {
+            "blk": {"to_q": {"kernel": jnp.ones((8, 8))}},
+            "other": {"kernel": jnp.zeros((4, 4))},
+        },
+        "cond": {"special_embeddings": jnp.zeros((4, 8))},
+    }
+
+
+def test_adapter_store_merge_and_cache():
+    base = _toy_base()
+    lora_a = init_lora(base["unet"], rank=2, key=jax.random.PRNGKey(0))
+    lora_b = init_lora(base["unet"], rank=2, key=jax.random.PRNGKey(1))
+    # make the deltas visible (init has up == 0 => identity merge)
+    for lora in (lora_a, lora_b):
+        for site in lora.values():
+            site["up"] = jnp.ones_like(site["up"]) * 0.1
+
+    store = LoraAdapterStore(base, keep=1)
+    store.add("a", lora_a)
+    store.add("b", lora_b)
+    assert store.names() == ["a", "b"]
+    assert store.params_for(None) is base
+
+    pa = store.params_for("a")
+    expect = merge_lora(base["unet"], lora_a, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(pa["unet"]["blk"]["to_q"]["kernel"]),
+        np.asarray(expect["blk"]["to_q"]["kernel"]),
+    )
+    # shapes identical across adapters -> no jit recompilation on swap
+    pb = store.params_for("b")
+    assert jax.tree_util.tree_structure(pa) == jax.tree_util.tree_structure(pb)
+    # cache hit is the same object
+    assert store.params_for("b") is pb
+    # keep=1: "a" was evicted, re-merge produces an equal tree
+    pa2 = store.params_for("a")
+    np.testing.assert_allclose(
+        np.asarray(pa2["unet"]["blk"]["to_q"]["kernel"]),
+        np.asarray(pa["unet"]["blk"]["to_q"]["kernel"]),
+    )
+    with pytest.raises(KeyError):
+        store.params_for("nope")
