@@ -78,10 +78,10 @@ if stage in ("unet", "all"):
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes))
     print(f"  params built (zeros, {n_params/1e6:.0f}M): {time.perf_counter()-t0:.1f}s", flush=True)
 
-    t = timed_chain(
-        lambda c, p, t_, ctx: unet.apply(p, c, t_, ctx).astype(jnp.bfloat16) + c * 0,
-        x, params, t_, ctx, iters=10,
-    )
+    def chain(c, p, t_, ctx):
+        o = unet.apply(p, c, t_, ctx).astype(jnp.bfloat16)  # [bv,64,128,4]
+        return jnp.concatenate([o, o, c[..., :1]], axis=-1) * 1e-3  # back to 9ch
+    t = timed_chain(chain, x, params, t_, ctx, iters=10)
     print(f"  stage 2 ok: {t*1e3:.2f} ms/forward (MULTIVIEW FULL SIZE)", flush=True)
 
 print("DONE", flush=True)
