@@ -1,0 +1,63 @@
+"""End-to-end training descent: with fixed (t, noise) the prompt-tuning loss
+is a deterministic function of the trainable parameters; optimization must
+drive it down through the full stack (VAE encode -> conditioning -> UNet ->
+p_losses -> masked AdamW).  Guards against silently-dead gradient paths
+(e.g. the zero-init output convs, frozen-mask mistakes), which shape tests
+cannot catch.  Reference loop semantics: ddpm.py:854-935 +
+ref_inpainting_ldm.py:83-96."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from leftrefill_tpu.config import build_model_from_config
+from leftrefill_tpu.tasks import build_task
+from leftrefill_tpu.train.trainer import (
+    OptimizerConfig,
+    compute_loss,
+    create_train_state,
+)
+from tests.test_tasks import TINY_YAML, _batch, unzero_kernels
+
+
+def test_full_gradient_path_descends():
+    """All-parameter training on a fixed objective must collapse the loss —
+    proves every gradient edge (VAE encode, conditioning, UNet, skip concats)
+    is alive.  (Prompt-only training on *random* frozen weights cannot move
+    the loss materially — the real setup starts from SD2 weights — so the
+    prompt-only checks assert movement, not descent: test_tasks.py.)"""
+    cfg = yaml.safe_load(TINY_YAML)
+    task = build_task(build_model_from_config(cfg, dtype=jnp.float32))
+    params = unzero_kernels(task.init_params(jax.random.PRNGKey(0), latent_hw=(4, 8)))
+    batch = {k: jnp.asarray(v) for k, v in _batch(task, b=2, s=16).items()}
+
+    state, tx = create_train_state(
+        params, OptimizerConfig(lr=2e-3, weight_decay=0.0),
+        predicate=lambda keys: True,  # every parameter trains
+    )
+    key = jax.random.PRNGKey(7)  # FIXED key => deterministic objective
+
+    @jax.jit
+    def step(state, batch):
+        def loss_fn(p):
+            return compute_loss(task.model, p, batch, key)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return type(state)(new_params, new_opt, state.step + 1), loss
+
+    losses = []
+    for _ in range(25):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], f"no descent: {losses[0]:.4f} -> {losses[-1]:.4f}"
+    # only the prompt table moved
+    d = np.abs(
+        np.asarray(state.params["cond"]["special_embeddings"])
+        - np.asarray(params["cond"]["special_embeddings"])
+    ).max()
+    assert d > 0
