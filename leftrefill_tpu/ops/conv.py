@@ -297,8 +297,8 @@ def conv3x3_apply(
     use = impl or _DEFAULT_IMPL
     b, h, wd, ci = x.shape
     co = w.shape[-1]
-    if use == "auto":
-        use = "pallas" if conv3x3_qualifies(h, wd, ci, co) else "xla"
-    if use == "pallas":
+    if use in ("auto", "pallas") and conv3x3_qualifies(h, wd, ci, co):
+        # "pallas" also only *prefers* the kernel: shapes with no aligned
+        # block plan (e.g. the 9-channel stem) always take the XLA conv
         return conv3x3_op(x, w, bias)
     return _xla_conv(x, w, bias)

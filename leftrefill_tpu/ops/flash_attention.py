@@ -62,14 +62,28 @@ def set_safe_softmax(on: bool) -> None:
 
 
 def _pick_block(n_other: int, n_blocked: int) -> int:
-    """Block size for the blocked sequence dim given the resident dim length:
-    the fp32 score tile (blk x n_other) dominates VMEM."""
+    """Forward block size: ONE fp32 score tile (blk x n_other) + its exp
+    dominate VMEM."""
     if n_other <= 8192:
         blk = DEFAULT_BLOCK_Q
     elif n_other <= 16384:
         blk = DEFAULT_BLOCK_Q // 2
     else:
         blk = DEFAULT_BLOCK_Q // 4
+    return min(blk, n_blocked)
+
+
+def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
+    """Backward block size: the bwd kernels hold FOUR fp32 (blk x n_other)
+    tiles live (s, p, dP, dS) plus resident q/dO — measured 21.7MB at
+    blk=128, n=8192 against the 16MB scoped-vmem limit.  Cap the tile set
+    at ~4MB."""
+    if n_other <= 2048:
+        blk = 128
+    elif n_other <= 4096:
+        blk = 64
+    else:
+        blk = 32
     return min(blk, n_blocked)
 
 
@@ -231,7 +245,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     ).reshape(b * h, nq, 1)
 
-    blk_q = _pick_block(nk, nq)
+    blk_q = _pick_block_bwd(nk, nq)
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
@@ -252,7 +266,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
         ),
     )(qf, kf, vf, gf, lf, df)
 
-    blk_k = _pick_block(nq, nk)
+    blk_k = _pick_block_bwd(nq, nk)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=(
