@@ -74,10 +74,10 @@ def _pick_block(n_other: int, n_blocked: int) -> int:
 
 
 def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
-    """Backward block size: the bwd kernels hold FOUR fp32 (blk x n_other)
-    tiles live (s, p, dP, dS) plus resident q/dO — measured 21.7MB at
-    blk=128, n=8192 against the 16MB scoped-vmem limit.  Cap the tile set
-    at ~4MB."""
+    """dq-kernel block size: it holds FOUR fp32 (blk_q x Nk) tiles live
+    (s, p, dP, dS) plus resident K/V — blk_q=128 at Nk=8192 measured 21.7MB
+    against the 16MB scoped-vmem limit.  Nk is the minor (lane) dim, so
+    shrinking blk_q (sublanes) genuinely shrinks the tiles."""
     if n_other <= 2048:
         blk = 128
     elif n_other <= 4096:
@@ -85,6 +85,13 @@ def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
     else:
         blk = 32
     return min(blk, n_blocked)
+
+
+# dkv kernel: tiles are [Nq, blk_k] with blk_k in the LANE dim — narrowing
+# blk_k below 128 does NOT shrink them (lanes pad to 128).  Instead the
+# kernel chunks the resident q/dO rows and accumulates, keeping four
+# (q_chunk x blk_k) tiles live.
+DKV_Q_CHUNK = 512
 
 
 # ---------------------------------------------------------------------------
@@ -200,33 +207,39 @@ def _flash_bwd_dkv_kernel(
 ):
     k = k_ref[0]  # [blk_k, D]
     v = v_ref[0]
-    q = q_ref[0].astype(jnp.float32) * scale  # [Nq, D] resident
-    do = do_ref[0]  # [Nq, D] resident
-    lse = l_ref[0]  # [Nq, 1] logsumexp
-    dcap = dd_ref[0]  # [Nq, 1]
-    s = jax.lax.dot_general(
-        q, k.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Nq, blk_k]
-    p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
-    pv = p.astype(do.dtype)
-    dv = jax.lax.dot_general(
-        pv, do,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [blk_k, D]
-    dp = jax.lax.dot_general(
-        do, v,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Nq, blk_k]
-    ds = p * (dp - dcap)
-    dk = jax.lax.dot_general(
-        ds.astype(q.dtype), q,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [blk_k, D]
+    nq, d = q_ref.shape[1], q_ref.shape[2]
+    blk_k = k.shape[0]
+    chunk = min(DKV_Q_CHUNK, nq)
+    dv = jnp.zeros((blk_k, d), jnp.float32)
+    dk = jnp.zeros((blk_k, d), jnp.float32)
+    for i in range(nq // chunk):  # unrolled; q/dO stay resident, tiles small
+        sl = slice(i * chunk, (i + 1) * chunk)
+        q = q_ref[0, sl].astype(jnp.float32) * scale  # [chunk, D]
+        do = do_ref[0, sl]
+        lse = l_ref[0, sl]  # [chunk, 1]
+        dcap = dd_ref[0, sl]
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, blk_k]
+        p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
+        dv += jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [blk_k, D]
+        dp = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, blk_k]
+        ds = p * (dp - dcap)
+        dk += jax.lax.dot_general(
+            ds.astype(k.dtype), q.astype(k.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [blk_k, D]
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -266,7 +279,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
         ),
     )(qf, kf, vf, gf, lf, df)
 
-    blk_k = _pick_block_bwd(nq, nk)
+    blk_k = min(DEFAULT_BLOCK_Q, nk)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=(
