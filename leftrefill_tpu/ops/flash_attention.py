@@ -210,14 +210,15 @@ def _flash_bwd_dkv_kernel(
     nq, d = q_ref.shape[1], q_ref.shape[2]
     blk_k = k.shape[0]
     chunk = min(DKV_Q_CHUNK, nq)
+    rows = chunk // 128  # lse/dd arrive packed [nq/128, 128] (lane-full)
     dv = jnp.zeros((blk_k, d), jnp.float32)
     dk = jnp.zeros((blk_k, d), jnp.float32)
     for i in range(nq // chunk):  # unrolled; q/dO stay resident, tiles small
         sl = slice(i * chunk, (i + 1) * chunk)
         q = q_ref[0, sl].astype(jnp.float32) * scale  # [chunk, D]
         do = do_ref[0, sl]
-        lse = l_ref[0, sl]  # [chunk, 1]
-        dcap = dd_ref[0, sl]
+        lse = l_ref[0, i * rows : (i + 1) * rows].reshape(chunk, 1)
+        dcap = dd_ref[0, i * rows : (i + 1) * rows].reshape(chunk, 1)
         s = jax.lax.dot_general(
             q, k.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -257,6 +258,12 @@ def _flash_backward(q, k, v, o, l, g, scale):
     df = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     ).reshape(b * h, nq, 1)
+    # lane-packed forms for the dkv kernel: a [*, nq, 1] block pads its minor
+    # dim to 128 lanes in VMEM (4MB at nq=8192); [nq/128, 128] stores the
+    # same vector lane-dense (32KB)
+    assert nq % 128 == 0, "flash bwd requires nq % 128 == 0 (dispatcher-enforced)"
+    lf_packed = lf.reshape(b * h, nq // 128, 128)
+    df_packed = df.reshape(b * h, nq // 128, 128)
 
     blk_q = _pick_block_bwd(nk, nq)
     dq = pl.pallas_call(
@@ -292,8 +299,8 @@ def _flash_backward(q, k, v, o, l, g, scale):
             pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq // 128, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq // 128, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -304,7 +311,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
             bytes_accessed=(qf.size + kf.size + vf.size + gf.size) * q.dtype.itemsize,
             transcendentals=b * h * nq * nk,
         ),
-    )(kf, vf, qf, gf, lf, df)
+    )(kf, vf, qf, gf, lf_packed, df_packed)
 
     return (
         dq.reshape(b, h, nq, d),
