@@ -87,10 +87,11 @@ def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
     return min(blk, n_blocked)
 
 
-# dkv kernel: tiles are [Nq, blk_k] with blk_k in the LANE dim — narrowing
-# blk_k below 128 does NOT shrink them (lanes pad to 128).  Instead the
-# kernel chunks the resident q/dO rows and accumulates, keeping four
-# (q_chunk x blk_k) tiles live.
+# dkv kernel: the probability tiles are [q_chunk, blk_k] with blk_k in the
+# LANE dim — narrowing blk_k below 128 does not shrink them (lanes pad to
+# 128), and [*, nq, 1] lse operands pad to 128 lanes (4MB at nq=8192).  So
+# the q dim is chunked via a third grid axis with dk/dv accumulated in VMEM
+# scratch; every block stays small.
 DKV_Q_CHUNK = 512
 
 
@@ -203,46 +204,49 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, 
 
 
 def _flash_bwd_dkv_kernel(
-    k_ref, v_ref, q_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref, *, scale, safe
+    k_ref, v_ref, q_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, safe
 ):
+    qc = pl.program_id(2)
+
+    @pl.when(qc == 0)
+    def _zero():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
     k = k_ref[0]  # [blk_k, D]
     v = v_ref[0]
-    nq, d = q_ref.shape[1], q_ref.shape[2]
-    blk_k = k.shape[0]
-    chunk = min(DKV_Q_CHUNK, nq)
-    rows = chunk // 128  # lse/dd arrive packed [nq/128, 128] (lane-full)
-    dv = jnp.zeros((blk_k, d), jnp.float32)
-    dk = jnp.zeros((blk_k, d), jnp.float32)
-    for i in range(nq // chunk):  # unrolled; q/dO stay resident, tiles small
-        sl = slice(i * chunk, (i + 1) * chunk)
-        q = q_ref[0, sl].astype(jnp.float32) * scale  # [chunk, D]
-        do = do_ref[0, sl]
-        lse = l_ref[0, i * rows : (i + 1) * rows].reshape(chunk, 1)
-        dcap = dd_ref[0, i * rows : (i + 1) * rows].reshape(chunk, 1)
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [chunk, blk_k]
-        p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
-        dv += jax.lax.dot_general(
-            p.astype(do.dtype), do,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [blk_k, D]
-        dp = jax.lax.dot_general(
-            do, v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [chunk, blk_k]
-        ds = p * (dp - dcap)
-        dk += jax.lax.dot_general(
-            ds.astype(k.dtype), q.astype(k.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [blk_k, D]
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    q = q_ref[0].astype(jnp.float32) * scale  # [chunk, D]
+    do = do_ref[0]
+    lse = l_ref[0]  # [chunk, 1]
+    dcap = dd_ref[0]
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [chunk, blk_k]
+    p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk_k, D]
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [chunk, blk_k]
+    ds = p * (dp - dcap)
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), q.astype(k.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk_k, D]
+
+    @pl.when(qc == pl.num_programs(2) - 1)
+    def _write():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _flash_backward(q, k, v, o, l, g, scale):
@@ -258,12 +262,6 @@ def _flash_backward(q, k, v, o, l, g, scale):
     df = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     ).reshape(b * h, nq, 1)
-    # lane-packed forms for the dkv kernel: a [*, nq, 1] block pads its minor
-    # dim to 128 lanes in VMEM (4MB at nq=8192); [nq/128, 128] stores the
-    # same vector lane-dense (32KB)
-    assert nq % 128 == 0, "flash bwd requires nq % 128 == 0 (dispatcher-enforced)"
-    lf_packed = lf.reshape(b * h, nq // 128, 128)
-    df_packed = df.reshape(b * h, nq // 128, 128)
 
     blk_q = _pick_block_bwd(nk, nq)
     dq = pl.pallas_call(
@@ -287,31 +285,36 @@ def _flash_backward(q, k, v, o, l, g, scale):
     )(qf, kf, vf, gf, lf, df)
 
     blk_k = min(DEFAULT_BLOCK_Q, nk)
+    chunk = min(DKV_Q_CHUNK, nq)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, nk, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, nk, d), v.dtype),
         ),
-        grid=(b * h, nk // blk_k),
+        grid=(b * h, nk // blk_k, nq // chunk),
         in_specs=[
-            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq // 128, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq // 128, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, d), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, d), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((blk_k, d), jnp.float32),
+            pltpu.VMEM((blk_k, d), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=6 * b * h * nq * nk * d,
             bytes_accessed=(qf.size + kf.size + vf.size + gf.size) * q.dtype.itemsize,
             transcendentals=b * h * nq * nk,
         ),
-    )(kf, vf, qf, gf, lf_packed, df_packed)
+    )(kf, vf, qf, gf, lf, df)
 
     return (
         dq.reshape(b, h, nq, d),
