@@ -55,6 +55,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")  # "dpm++2m": ~20-step fast path
 
     model, params = build_full_bundle()
     import warnings
@@ -64,7 +65,7 @@ def main():
         tok, sp, _ = build_prompt_tokenizer(["repeat_50_<special-token>"], ["init"])
     pipe = RefInpaintPipeline(
         model=model, params=params, tokenizer=tok, special_tokens=sp,
-        ddim_steps=steps, guidance_scale=2.5, eta=1.0,
+        ddim_steps=steps, guidance_scale=2.5, eta=1.0, sampler=sampler,
     )
 
     rng = np.random.RandomState(0)
@@ -93,7 +94,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"canvases_per_sec_512x1024_{steps}step_cfg2.5_b{batch}",
+                "metric": f"canvases_per_sec_512x1024_{steps}step{'_' + sampler if sampler != 'ddim' else ''}_cfg2.5_b{batch}",
                 "value": round(canvases_per_sec, 4),
                 "unit": "canvases/sec/chip",
                 "vs_baseline": round(canvases_per_sec / target, 4),

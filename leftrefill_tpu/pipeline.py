@@ -39,6 +39,7 @@ class RefInpaintPipeline:
     ddim_steps: int = 50
     guidance_scale: float = 2.5
     eta: float = 1.0
+    sampler: str = "ddim"  # "ddim" | "dpm++2m" (opt-in fast path, ~20 steps)
 
     def __post_init__(self):
         self._prompt_tokens = np.asarray(
@@ -52,6 +53,7 @@ class RefInpaintPipeline:
                 ddim_steps=self.ddim_steps,
                 eta=self.eta,
                 guidance_scale=self.guidance_scale,
+                sampler=self.sampler,
             )
         )
 
@@ -106,6 +108,7 @@ def _generate(
     ddim_steps: int,
     eta: float,
     guidance_scale: float,
+    sampler: str = "ddim",
 ) -> jax.Array:
     masked_image = image * (mask < 0.5)
     cond = model.build_inpaint_cond(params, tokens, mask, masked_image)
@@ -118,17 +121,25 @@ def _generate(
 
     tables = model.schedule.ddim_tables(ddim_steps, eta=eta)
     apply_fn = lambda x, t, c: model.apply_model(params, x, t, c)
-    z = ddim_sample(
-        model,
-        apply_fn,
-        tables,
-        cond,
-        key,
-        shape,
-        uncond=uncond,
-        guidance_scale=guidance_scale,
-        x_T=x_T,
-    )
+    if sampler == "dpm++2m":
+        from leftrefill_tpu.diffusion.samplers_extra import dpm_solver_pp_2m_sample
+
+        z = dpm_solver_pp_2m_sample(
+            model, apply_fn, tables, cond, key, shape,
+            uncond=uncond, guidance_scale=guidance_scale, x_T=x_T,
+        )
+    else:
+        z = ddim_sample(
+            model,
+            apply_fn,
+            tables,
+            cond,
+            key,
+            shape,
+            uncond=uncond,
+            guidance_scale=guidance_scale,
+            x_T=x_T,
+        )
     pred = model.decode_first_stage(params, z)
     pred = jnp.clip(pred, -1.0, 1.0)
     # composite prediction into the hole only (test_inpainting.py:147)

@@ -89,3 +89,26 @@ def test_pipeline_deterministic_given_key(pipeline):
     o3 = np.asarray(pipeline(image, mask, jax.random.PRNGKey(8)))
     assert np.allclose(o1, o2)
     assert not np.allclose(o1, o3)  # eta=1.0 -> key changes the sample
+
+
+
+
+def test_pipeline_dpm_sampler():
+    """The opt-in dpm++2m fast path (samplers_extra.py) runs through the
+    same pipeline contract: composited canvas, outside-mask pixels exact."""
+    model, params = build_tiny_bundle()
+    tok, sp, _ = build_prompt_tokenizer([f"<special-token{i}>" for i in range(4)], None)
+    pipe = RefInpaintPipeline(
+        model=model, params=params, tokenizer=tok, special_tokens=sp,
+        ddim_steps=4, guidance_scale=2.5, eta=0.0, sampler="dpm++2m",
+    )
+    rng = np.random.RandomState(1)
+    b, s = 1, 32
+    image = rng.uniform(-1, 1, (b, s, 2 * s, 3)).astype(np.float32)
+    mask = np.concatenate(
+        [np.zeros((b, s, s, 1)), np.ones((b, s, s, 1))], axis=2
+    ).astype(np.float32)
+    out = np.asarray(pipe(image, mask, jax.random.PRNGKey(0)))
+    assert out.shape == image.shape
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out * (1 - mask), image * (1 - mask), atol=1e-5)
