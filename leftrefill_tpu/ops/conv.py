@@ -119,14 +119,24 @@ def _pick_blocks(h: int, w: int, ci: int, co: int) -> Optional[tuple[int, int, i
 # tap accumulation strategy: "sum9" = 9 separate MXU matmuls accumulated in
 # fp32 scratch; "concat" = build the [rows, 9*blk_ci] im2col tile in VMEM and
 # issue ONE matmul with K = 9*blk_ci (fewer MXU setups, one accumulate).
-# Switchable for on-hardware A/B measurement.
-_TAP_MODE = os.environ.get("LEFTREFILL_CONV_TAPS", "sum9")
+# "auto" picks concat for small spatial tiles (few matmul rows -> the deep-K
+# single matmul keeps the MXU busy) and sum9 for large ones.
+_TAP_MODE = os.environ.get("LEFTREFILL_CONV_TAPS", "auto")
 
 
 def set_conv_tap_mode(mode: str) -> None:
     global _TAP_MODE
-    assert mode in ("sum9", "concat")
+    assert mode in ("auto", "sum9", "concat")
     _TAP_MODE = mode
+
+
+def _resolve_tap_mode(h: int, w: int) -> str:
+    if _TAP_MODE != "auto":
+        return _TAP_MODE
+    # concat's im2col tile + reshaped weights add ~blk_rows*9*blk_ci*2 +
+    # 9*blk_ci*blk_co*2 bytes of VMEM on top of the plan estimate — safe only
+    # at the tiny-spatial levels (where it also helps most: few matmul rows)
+    return "concat" if h * w <= 256 else "sum9"
 
 
 def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref, *, tap_mode):
@@ -214,7 +224,7 @@ def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_conv_kernel, tap_mode=_TAP_MODE),
+        functools.partial(_conv_kernel, tap_mode=_resolve_tap_mode(h, wd)),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co), x.dtype),
         grid=grid,
         in_specs=[
