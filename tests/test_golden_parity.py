@@ -276,3 +276,124 @@ def test_vae_encode_decode_parity(ref):
         )
     )
     assert_close(dec_out_f, dec_out_t, label="vae decode")
+
+
+# ---------------------------------------------------------------------------
+# multi-view (the reference's flagship mechanism)
+
+
+def _mv_ref(ref):
+    import ldm.modules.multiview_attention as mva
+    import ldm.modules.diffusionmodules.multiview_unet as mvu
+
+    return mva, mvu
+
+
+def test_multiview_block_joint_attention_parity(ref):
+    """MultiViewBasicTransformerBlock, plain rearranged mode
+    (multiview_attention.py:394-468): joint-view self-attention across the
+    batch-folded views must match the torch block bit-for-bit in fp32."""
+    mva, _ = _mv_ref(ref)
+    tm = mva.MultiViewBasicTransformerBlock(
+        dim=64, n_heads=2, d_head=32, context_dim=48, checkpoint=False,
+        view_num=2,
+    ).eval()
+    randomize_(tm, seed=20)
+
+    from leftrefill_tpu.models.multiview import MultiViewBasicTransformerBlock
+
+    fm = MultiViewBasicTransformerBlock(
+        dim=64, n_heads=2, d_head=32, context_dim=48, view_num=2,
+        dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(21)
+    x = rng.randn(4, 64, 64).astype(np.float32)  # (b=2)*(v=2), hw=64
+    ctx = rng.randn(4, 7, 48).astype(np.float32)
+
+    base = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))["params"]
+    params = merged(base, to_flax(tm, "unet"))
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x), context=torch.from_numpy(ctx)).numpy()
+    out_f = np.asarray(
+        jax.jit(fm.apply)({"params": params}, jnp.asarray(x), jnp.asarray(ctx))
+    )
+    assert_close(out_f, out_t, label="multiview block (rearranged)")
+
+
+def test_multiview_block_concat_target_parity(ref):
+    """concat_target mode: sequence [target-right-half, all left-halves] with
+    the attended target scattered back to every canvas's right half
+    (multiview_attention.py:437-460)."""
+    mva, _ = _mv_ref(ref)
+    view_num = 3  # 2 stitched canvases per scene
+    tm = mva.MultiViewBasicTransformerBlock(
+        dim=64, n_heads=2, d_head=32, context_dim=48, checkpoint=False,
+        view_num=view_num, concat_target=True,
+    ).eval()
+    randomize_(tm, seed=22)
+
+    from leftrefill_tpu.models.multiview import MultiViewBasicTransformerBlock
+
+    fm = MultiViewBasicTransformerBlock(
+        dim=64, n_heads=2, d_head=32, context_dim=48, view_num=view_num,
+        concat_target=True, dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(23)
+    s = 8  # canvas hw = s * 2s
+    x = rng.randn(2 * (view_num - 1), s * 2 * s, 64).astype(np.float32)
+    ctx = rng.randn(2 * (view_num - 1), 7, 48).astype(np.float32)
+
+    base = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))["params"]
+    params = merged(base, to_flax(tm, "unet"))
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x), context=torch.from_numpy(ctx)).numpy()
+    out_f = np.asarray(
+        jax.jit(fm.apply)({"params": params}, jnp.asarray(x), jnp.asarray(ctx))
+    )
+    assert_close(out_f, out_t, label="multiview block (concat_target)")
+
+
+def test_full_multiview_unet_parity(ref):
+    """Small complete MultiViewUnetModel.forward (multiview_unet.py:33-411)
+    vs the torch model with converted random weights."""
+    _, mvu = _mv_ref(ref)
+    cfg = dict(
+        in_channels=9, out_channels=4, model_channels=32,
+        attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],
+        num_head_channels=8, transformer_depth=1, context_dim=32,
+    )
+    tm = mvu.MultiViewUnetModel(
+        image_size=32, use_spatial_transformer=True, use_linear_in_transformer=True,
+        legacy=False, use_checkpoint=False, view_num=2, **cfg,
+    ).eval()
+    randomize_(tm, seed=24)
+
+    from leftrefill_tpu.models.multiview import MultiViewUnetModel
+
+    fm = MultiViewUnetModel(
+        view_num=2, use_spatial_transformer=True, use_linear_in_transformer=True,
+        dtype=jnp.float32,
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in cfg.items()},
+    )
+    rng = np.random.RandomState(25)
+    x = rng.randn(4, 16, 32, 9).astype(np.float32)  # 2 scenes x 2 views
+    t = np.array([3, 3, 977, 977], np.int64)
+    ctx = rng.randn(4, 77, 32).astype(np.float32)
+
+    base = jax.jit(fm.init)(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
+    )["params"]
+    params = merged(base, to_flax(tm, "unet"))
+
+    with torch.no_grad():
+        out_t = tm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t),
+            torch.from_numpy(ctx),
+        ).numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(
+        jax.jit(fm.apply)({"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+    )
+    assert_close(out_f, out_t, label="multiview unet forward")
