@@ -81,8 +81,15 @@ class CLIPTextTransformer(nn.Module):
             jnp.float32,
         )
         x = text_emb + pos.astype(text_emb.dtype)
-        for i in range(self.layers - skip_last):
-            x = TextResBlock(self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}")(x)
+        n_apply = self.layers - skip_last
+        for i in range(self.layers):
+            blk = TextResBlock(self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}")
+            if i < n_apply:
+                x = blk(x)
+            elif self.is_initializing():
+                # materialize the skipped (penultimate-mode) block's params so
+                # the tree matches the full open_clip checkpoint layout
+                blk(x[:, :1])
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_final")(x)
         return x
 

@@ -397,3 +397,86 @@ def test_full_multiview_unet_parity(ref):
         jax.jit(fm.apply)({"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
     )
     assert_close(out_f, out_t, label="multiview unet forward")
+
+
+# ---------------------------------------------------------------------------
+# full CLIP text tower (open_clip layout oracle)
+
+
+def test_full_text_tower_parity():
+    """PromptCLIPEmbedder full forward (blend -> +positional -> causal
+    transformer with penultimate skip -> ln_final) vs a torch tower assembled
+    with open_clip's exact module layout and state_dict keys
+    (Refill_modules.py:160-201; open_clip ViT-H text structure).  Exercises
+    the full converter key map for cond_stage_model.* including the packed
+    MultiheadAttention in_proj."""
+    vocab, width, heads, layers, n_special, L = 64, 32, 2, 3, 4, 77
+
+    class _Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = torch.nn.LayerNorm(width)
+            self.attn = torch.nn.MultiheadAttention(width, heads, batch_first=False)
+            self.ln_2 = torch.nn.LayerNorm(width)
+            self.mlp = torch.nn.Module()
+            self.mlp.c_fc = torch.nn.Linear(width, 4 * width)
+            self.mlp.c_proj = torch.nn.Linear(4 * width, width)
+
+        def forward(self, x, attn_mask):
+            y = self.ln_1(x)
+            a, _ = self.attn(y, y, y, attn_mask=attn_mask, need_weights=False)
+            x = x + a
+            x = x + self.mlp.c_proj(torch.nn.functional.gelu(self.mlp.c_fc(self.ln_2(x))))
+            return x
+
+    class _Tower(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = torch.nn.Module()
+            self.model.token_embedding = torch.nn.Embedding(vocab, width)
+            self.model.positional_embedding = torch.nn.Parameter(torch.zeros(L, width))
+            self.model.transformer = torch.nn.Module()
+            self.model.transformer.resblocks = torch.nn.ModuleList(
+                [_Block() for _ in range(layers)]
+            )
+            self.model.ln_final = torch.nn.LayerNorm(width)
+            self.special_embeddings = torch.nn.Embedding(n_special, width)
+
+        def forward(self, tokens):  # penultimate layer output
+            is_special = tokens >= vocab
+            reg = self.model.token_embedding(tokens.clamp(0, vocab - 1))
+            spec = self.special_embeddings((tokens - vocab).clamp(min=0))
+            x = torch.where(is_special[..., None], spec, reg)
+            x = x + self.model.positional_embedding
+            x = x.permute(1, 0, 2)  # LND
+            mask = torch.triu(torch.full((L, L), float("-inf")), diagonal=1)
+            for blk in self.model.transformer.resblocks[:-1]:  # skip last
+                x = blk(x, mask)
+            x = x.permute(1, 0, 2)
+            return self.model.ln_final(x)
+
+    tm = _Tower().eval()
+    randomize_(tm, seed=30)
+
+    from leftrefill_tpu.models.clip import PromptCLIPEmbedder
+
+    fm = PromptCLIPEmbedder(
+        vocab_size=vocab, width=width, heads=heads, layers=layers,
+        num_special_tokens=n_special, layer="penultimate", dtype=jnp.float32,
+    )
+    tokens = np.zeros((2, L), np.int64)
+    tokens[:, 0] = 1
+    tokens[0, 1 : 1 + n_special] = vocab + np.arange(n_special)  # special ids
+    tokens[1, 1:5] = np.arange(2, 6)
+    tokens[:, 6] = 2
+
+    base = fm.init(jax.random.PRNGKey(0), jnp.asarray(tokens))["params"]
+    sd = {"cond_stage_model." + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    loaded, skipped = convert_state_dict(sd)
+    assert not skipped, skipped
+    params = merged(base, loaded["cond"])
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(tokens)).numpy()
+    out_f = np.asarray(jax.jit(fm.apply)({"params": params}, jnp.asarray(tokens)))
+    assert_close(out_f, out_t, atol=5e-5, rtol=1e-4, label="clip text tower")
