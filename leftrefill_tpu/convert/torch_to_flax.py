@@ -285,7 +285,13 @@ def convert_state_dict(
             skipped.append(key)
             continue
         path, arr = _leaf_transform(path, arr)
-        insert(root, path, np.ascontiguousarray(arr))
+        nd = np.ndim(arr)
+        arr = np.ascontiguousarray(arr)
+        if nd == 0:
+            # np.ascontiguousarray promotes 0-d arrays to (1,); keep scalars
+            # scalar (e.g. refinement_alpha, NVS_ldm.py:148)
+            arr = arr.reshape(())
+        insert(root, path, arr)
     return params, skipped
 
 

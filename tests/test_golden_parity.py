@@ -480,3 +480,224 @@ def test_full_text_tower_parity():
         out_t = tm(torch.from_numpy(tokens)).numpy()
     out_f = np.asarray(jax.jit(fm.apply)({"params": params}, jnp.asarray(tokens)))
     assert_close(out_f, out_t, atol=5e-5, rtol=1e-4, label="clip text tower")
+
+
+# ---------------------------------------------------------------------------
+# NVS: sep-token UNet, c_input residual, refinement CNN, rel-pos MLP
+
+
+@pytest.fixture(scope="module")
+def nvs_ref(ref):
+    """Import inpainting_ldm.NVS_ldm with its heavy/absent deps stubbed
+    (pytorch_lightning, skimage, torchmetrics, open_clip, the DTU dataset
+    module that is absent from the reference repo itself)."""
+    stubs = {}
+
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        stubs[name] = m
+        return m
+
+    tvu = sys.modules["torchvision.utils"]
+    if not hasattr(tvu, "make_grid"):
+        tvu.make_grid = lambda *a, **k: None
+    tvf = mod("torchvision.transforms.functional")
+    sys.modules.setdefault("torchvision.transforms.functional", tvf)
+    pl = mod("pytorch_lightning", LightningModule=torch.nn.Module,
+             seed_everything=lambda *a, **k: None)
+    sys.modules.setdefault("pytorch_lightning", pl)
+    for sub in ("utilities", "utilities.distributed"):
+        m = mod(f"pytorch_lightning.{sub}", rank_zero_only=lambda f: f)
+        sys.modules.setdefault(f"pytorch_lightning.{sub}", m)
+    dl = mod("dataloaders"); dl.__path__ = []
+    sys.modules.setdefault("dataloaders", dl)
+    sys.modules.setdefault(
+        "dataloaders.novel_view_synthesis_dataset",
+        mod("dataloaders.novel_view_synthesis_dataset",
+            NVS_DTUDataset=object, WarpNVS_DTUDataset=object),
+    )
+    sys.modules.setdefault(
+        "dataloaders.obj_nvs_dataset",
+        mod("dataloaders.obj_nvs_dataset", NVS_OBJDataset=object),
+    )
+    sk = mod("skimage"); sk.__path__ = []
+    sys.modules.setdefault("skimage", sk)
+    sys.modules.setdefault(
+        "skimage.metrics", mod("skimage.metrics", structural_similarity=lambda *a, **k: 0)
+    )
+    tmm = mod("torchmetrics"); tmm.__path__ = []
+    sys.modules.setdefault("torchmetrics", tmm)
+    sys.modules.setdefault(
+        "torchmetrics.functional",
+        mod("torchmetrics.functional", peak_signal_noise_ratio=lambda *a, **k: 0),
+    )
+    sys.modules.setdefault(
+        "open_clip",
+        mod("open_clip", create_model_and_transforms=lambda *a, **k: (None, None, None)),
+    )
+    import inpainting_ldm.NVS_ldm as NVS_ldm
+
+    return NVS_ldm
+
+
+def _tiny_nvs_pair(nvs_ref, use_sep):
+    cfg = dict(
+        in_channels=9, out_channels=4, model_channels=32,
+        attention_resolutions=[1], num_res_blocks=1, channel_mult=[1, 2],
+        num_head_channels=8, transformer_depth=1, context_dim=32,
+    )
+    tm = nvs_ref.NVSUnetModel(
+        image_size=32, use_spatial_transformer=True, use_linear_in_transformer=True,
+        legacy=False, use_checkpoint=False, use_sep=use_sep, **cfg,
+    ).eval()
+
+    from leftrefill_tpu.models.nvs import NVSUnetModel
+
+    fm = NVSUnetModel(
+        use_spatial_transformer=True, use_linear_in_transformer=True,
+        use_sep=use_sep, dtype=jnp.float32,
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in cfg.items()},
+    )
+    if use_sep:
+        # the reference hardcodes the SD2 channel widths (NVS_ldm.py:27-30);
+        # re-key its ParameterDict with the channel set this config derives —
+        # a missing channel fails its forward with a KeyError
+        chans = fm._sep_channel_set()
+        tm.sep_token = torch.nn.ParameterDict(
+            {str(c): torch.nn.Parameter(torch.randn(c)) for c in chans}
+        )
+    randomize_(tm, seed=40 + use_sep)
+    return tm, fm
+
+
+def test_nvs_sep_token_unet_parity(nvs_ref):
+    """Separator-column splicing around every non-resampling block
+    (NVS_ldm.py:57-97): spliced at the block's input width, stripped back to
+    the pre-splice width after."""
+    tm, fm = _tiny_nvs_pair(nvs_ref, use_sep=True)
+    rng = np.random.RandomState(41)
+    x = rng.randn(2, 8, 16, 9).astype(np.float32)
+    t = np.array([5, 900], np.int64)
+    ctx = rng.randn(2, 77, 32).astype(np.float32)
+
+    base = jax.jit(fm.init)(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
+    )["params"]
+    params = merged(base, to_flax(tm, "unet"))
+
+    with torch.no_grad():
+        out_t = tm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t),
+            torch.from_numpy(ctx),
+        ).numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(
+        jax.jit(fm.apply)({"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+    )
+    assert_close(out_f, out_t, label="nvs sep-token unet")
+
+
+@pytest.mark.parametrize("half", [False, True])
+def test_nvs_c_input_residual_parity(nvs_ref, half):
+    """hybrid-refine c_input residual after input block 0 (NVS_ldm.py:63-68):
+    full-shape adds everywhere, half-shape adds to the right half."""
+    tm, fm = _tiny_nvs_pair(nvs_ref, use_sep=False)
+    rng = np.random.RandomState(43)
+    x = rng.randn(1, 8, 16, 9).astype(np.float32)
+    t = np.array([7], np.int64)
+    ctx = rng.randn(1, 77, 32).astype(np.float32)
+    ci = rng.randn(1, 8, 8 if half else 16, 32).astype(np.float32)
+
+    base = jax.jit(fm.init)(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
+    )["params"]
+    params = merged(base, to_flax(tm, "unet"))
+
+    with torch.no_grad():
+        out_t = tm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t),
+            torch.from_numpy(ctx), c_input=torch.from_numpy(ci.transpose(0, 3, 1, 2)),
+        ).numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(
+        jax.jit(lambda p, a, b, c, d: fm.apply(p, a, b, c, c_input=d))(
+            {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(ci)
+        )
+    )
+    assert_close(out_f, out_t, label=f"nvs c_input half={half}")
+
+
+def test_refinement_cnn_parity():
+    """RefinementCNN vs the reference refinement_model Sequential assembled
+    with the exact layer sequence and indices (NVS_ldm.py:124-148), including
+    the learned output scale refinement_alpha."""
+    mc = 64  # model_channels (must divide by the 32 GN groups)
+
+    def gn(groups, ch):
+        return torch.nn.GroupNorm(groups, ch)
+
+    seq = torch.nn.Sequential(
+        torch.nn.Conv2d(4, 32, 3, padding=1), torch.nn.SiLU(),
+        torch.nn.Conv2d(32, 64, 3, padding=1, stride=2), gn(16, 64), torch.nn.SiLU(),
+        torch.nn.Conv2d(64, 64, 3, padding=1), gn(16, 64), torch.nn.SiLU(),
+        torch.nn.Conv2d(64, 128, 3, padding=1, stride=2), gn(32, 128), torch.nn.SiLU(),
+        torch.nn.Conv2d(128, 128, 3, padding=1), gn(32, 128), torch.nn.SiLU(),
+        torch.nn.Conv2d(128, 256, 3, padding=1, stride=2), gn(32, 256), torch.nn.SiLU(),
+        torch.nn.Conv2d(256, mc, 3, padding=1), gn(32, mc), torch.nn.SiLU(),
+    ).eval()
+    randomize_(seq, seed=44)
+    alpha = 0.37
+
+    from leftrefill_tpu.convert.torch_to_flax import convert_state_dict
+    from leftrefill_tpu.models.nvs import RefinementCNN
+
+    sd = {f"refinement_model.{k}": v.detach().numpy() for k, v in seq.state_dict().items()}
+    sd["refinement_alpha"] = np.float32(alpha)
+    loaded, skipped = convert_state_dict(sd)
+    assert not skipped, skipped
+
+    fm = RefinementCNN(model_channels=mc)
+    rng = np.random.RandomState(45)
+    img = rng.uniform(-1, 1, (1, 32, 64, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (1, 32, 64, 1)) > 0.5).astype(np.float32)
+    base = fm.init(jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(mask))["params"]
+    params = merged(base, loaded["refine"])
+
+    with torch.no_grad():
+        xt = torch.from_numpy(
+            np.concatenate([img, mask], axis=-1).transpose(0, 3, 1, 2)
+        )
+        out_t = (seq(xt) * alpha).numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(
+        jax.jit(fm.apply)({"params": params}, jnp.asarray(img), jnp.asarray(mask))
+    )
+    assert_close(out_f, out_t, label="refinement cnn")
+
+
+def test_rel_pos_model_parity(nvs_ref):
+    """RelPosModel pose MLP (NVS_modules.py:92-106) incl. pos_strengthen."""
+    import ldm.modules.encoders.NVS_modules as NVS_modules
+
+    tm = NVS_modules.RelPosModel(input_ch=4, out_ch=64, pos_strengthen=True).eval()
+    randomize_(tm, seed=46)
+
+    from leftrefill_tpu.convert.torch_to_flax import convert_state_dict
+    from leftrefill_tpu.models.nvs import RelPosModel
+
+    sd = {
+        f"cond_stage_model.rel_pos_model.{k}": v.detach().numpy()
+        for k, v in tm.state_dict().items()
+    }
+    loaded, skipped = convert_state_dict(sd)
+    assert not skipped, skipped
+
+    fm = RelPosModel(input_ch=4, out_ch=64, pos_strengthen=True)
+    pose = np.random.RandomState(47).randn(3, 4).astype(np.float32)
+    base = fm.init(jax.random.PRNGKey(0), jnp.asarray(pose))["params"]
+    params = merged(base, loaded["cond"]["rel_pos_model"])
+
+    with torch.no_grad():
+        t1, t2 = tm(torch.from_numpy(pose))
+    f1, f2 = fm.apply({"params": params}, jnp.asarray(pose))
+    assert_close(np.asarray(f1), t1.numpy(), label="rel_pos mlp1")
+    assert_close(np.asarray(f2), t2.numpy(), label="rel_pos mlp2")
