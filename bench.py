@@ -22,14 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_full_bundle(dtype=jnp.bfloat16):
+def build_full_bundle(dtype=jnp.bfloat16, quant=False):
     from leftrefill_tpu.diffusion.core import LeftRefillModel
     from leftrefill_tpu.diffusion.schedules import DiffusionSchedule
     from leftrefill_tpu.models.autoencoder import AutoencoderKL, DDConfig
     from leftrefill_tpu.models.clip import PromptCLIPEmbedder
     from leftrefill_tpu.models.unet import UNetModel
 
-    unet = UNetModel(dtype=dtype)  # SD2-inpainting defaults (865M)
+    unet = UNetModel(dtype=dtype, quant=quant)  # SD2-inpainting defaults (865M)
     vae = AutoencoderKL(ddconfig=DDConfig(), embed_dim=4, dtype=dtype)
     clip = PromptCLIPEmbedder(dtype=dtype)  # ViT-H text (354M)
     schedule = DiffusionSchedule.create(
@@ -45,6 +45,14 @@ def build_full_bundle(dtype=jnp.bfloat16):
         "vae": jax.jit(vae.init)(k, jnp.zeros((1, 64, 128, 3)))["params"],
         "cond": jax.jit(clip.init)(k, jnp.zeros((1, 77), jnp.int32))["params"],
     }
+    if quant:
+        from leftrefill_tpu.ops.quant import quantize_params_like
+
+        q_struct = jax.eval_shape(
+            unet.init, k, jnp.zeros((1, 64, 128, 9)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 1024)),
+        )["params"]
+        params["unet"] = quantize_params_like(q_struct, params["unet"])
     return model, params
 
 
@@ -56,8 +64,9 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")  # "dpm++2m": ~20-step fast path
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"  # W8A8 int8 UNet (opt-in)
 
-    model, params = build_full_bundle()
+    model, params = build_full_bundle(quant=quant)
     import warnings
 
     with warnings.catch_warnings():
@@ -94,7 +103,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"canvases_per_sec_512x1024_{steps}step{'_' + sampler if sampler != 'ddim' else ''}_cfg2.5_b{batch}",
+                "metric": (
+                    f"canvases_per_sec_512x1024_{steps}step"
+                    f"{'_' + sampler if sampler != 'ddim' else ''}"
+                    f"{'_int8' if quant else ''}_cfg2.5_b{batch}"
+                ),
                 "value": round(canvases_per_sec, 4),
                 "unit": "canvases/sec/chip",
                 "vs_baseline": round(canvases_per_sec / target, 4),

@@ -41,11 +41,17 @@ PAD1 = ((1, 1), (1, 1))
 class Conv3x3(nn.Module):
     """3x3 stride-1 pad-1 conv with the same param layout as nn.Conv
     (kernel HWIO + bias), dispatched to the Pallas conv kernel on TPU
-    (ops/conv.py) and the XLA conv elsewhere — numerically identical."""
+    (ops/conv.py) and the XLA conv elsewhere — numerically identical.
+
+    ``quant=True`` declares an extra ``kernel_scale`` param and, when the
+    apply-time kernel is int8 (see ops/quant.quantize_params_like), runs the
+    W8A8 int8 conv kernel — falling back to a dequantized fp conv where the
+    shape does not qualify (so an int8 tree is always numerically valid)."""
 
     features: int
     zero: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -59,13 +65,68 @@ class Conv3x3(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.quant:
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            if kernel.dtype == jnp.int8:
+                from leftrefill_tpu.ops.quant import conv3x3_int8, conv3x3_int8_qualifies
+
+                b, h, w, _ = x.shape
+                if conv3x3_int8_qualifies(h, w, ci, self.features):
+                    return conv3x3_int8(
+                        x.astype(self.dtype), kernel, scale,
+                        bias.astype(self.dtype), out_dtype=self.dtype,
+                    )
+                # dequantize: exact inverse of the per-channel quantization
+                kernel = kernel.astype(jnp.float32) * scale[None, None, None, :]
         x = x.astype(self.dtype)
         return conv3x3_apply(x, kernel.astype(self.dtype), bias.astype(self.dtype))
 
 
-def conv3x3(features: int, *, strides: int = 1, zero: bool = False, dtype: Dtype, name: str | None = None):
+class QDense(nn.Module):
+    """Dense with the nn.Dense param layout plus an optional int8 W8A8 path
+    (kernel int8 + kernel_scale; dynamic per-tensor activation scale).  Used
+    for the transformer projections/FF where the MXU int8 rate is ~2x bf16."""
+
+    features: int
+    use_bias: bool = True
+    zero: bool = False
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        din = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
+            (din, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        if self.quant:
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            if kernel.dtype == jnp.int8:
+                from leftrefill_tpu.ops.quant import dense_int8, quantize_activation
+
+                xq, sx = quantize_activation(x)
+                return dense_int8(xq, sx, kernel, scale, bias, out_dtype=self.dtype)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def conv3x3(features: int, *, strides: int = 1, zero: bool = False, dtype: Dtype, name: str | None = None, quant: bool = False):
     if strides == 1:
-        return Conv3x3(features=features, zero=zero, dtype=dtype, name=name)
+        return Conv3x3(features=features, zero=zero, dtype=dtype, name=name, quant=quant)
     return nn.Conv(
         features,
         kernel_size=(3, 3),
@@ -161,6 +222,7 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False  # W8A8 int8 on the two 3x3 convs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
@@ -173,7 +235,7 @@ class ResBlock(nn.Module):
         elif self.down:
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
-        h = conv3x3(self.out_channels, dtype=self.dtype, name="in_layers_2")(h)
+        h = conv3x3(self.out_channels, dtype=self.dtype, name="in_layers_2", quant=self.quant)(h)
 
         emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -189,7 +251,7 @@ class ResBlock(nn.Module):
             h = h + emb_out[:, None, None, :]
             h = GroupNorm32(32, eps=1e-5, name="out_layers_0")(h)
         h = nn.silu(h)
-        h = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_layers_3")(h)
+        h = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_layers_3", quant=self.quant)(h)
 
         if self.out_channels == in_ch:
             skip = x
@@ -206,15 +268,16 @@ class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = self.dim * self.mult
-        xg = dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        xg = QDense(inner * 2, dtype=self.dtype, name="net_0_proj", quant=self.quant)(x)
         val, gate = jnp.split(xg, 2, axis=-1)
         # torch F.gelu is the exact erf gelu
         x = val * nn.gelu(gate.astype(jnp.float32), approximate=False).astype(val.dtype)
-        return dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return QDense(self.dim, dtype=self.dtype, name="net_2", quant=self.quant)(x)
 
 
 class CrossAttention(nn.Module):
@@ -231,6 +294,7 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None  # None => self-attention
     dtype: Dtype = jnp.float32
     attn_fn: Optional[Any] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -241,9 +305,9 @@ class CrossAttention(nn.Module):
     ) -> jax.Array:
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q", quant=self.quant)(x)
+        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k", quant=self.quant)(ctx)
+        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v", quant=self.quant)(ctx)
         if return_attn:
             # attention-visualization path (reference debug dumper,
             # multiview_attention.py:208-295): sow the head-mean probs so
@@ -254,7 +318,7 @@ class CrossAttention(nn.Module):
             self.sow("intermediates", "attn_score", probs)
         fn = self.attn_fn if self.attn_fn is not None else multi_head_attention
         out = fn(q, k, v, self.heads)
-        return dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        return QDense(self.query_dim, dtype=self.dtype, name="to_out_0", quant=self.quant)(out)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -268,6 +332,7 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     disable_self_attn: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     def _self_attn_fn(self):
         """Hook: override the self-attention math (the multi-view block
@@ -282,6 +347,7 @@ class BasicTransformerBlock(nn.Module):
             context_dim=self.context_dim if self.disable_self_attn else None,
             dtype=self.dtype,
             attn_fn=self._self_attn_fn(),
+            quant=self.quant,
             name="attn1",
         )
         self.attn2 = CrossAttention(
@@ -290,9 +356,10 @@ class BasicTransformerBlock(nn.Module):
             query_dim=self.dim,
             context_dim=self.context_dim,
             dtype=self.dtype,
+            quant=self.quant,
             name="attn2",
         )
-        self.ff = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")
+        self.ff = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff", quant=self.quant)
         self.norm1 = LayerNormF32(name="norm1")
         self.norm2 = LayerNormF32(name="norm2")
         self.norm3 = LayerNormF32(name="norm3")
@@ -325,6 +392,7 @@ class SpatialTransformer(nn.Module):
     use_linear: bool = True
     disable_self_attn: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
     block_cls: type = BasicTransformerBlock
     block_kwargs: dict = None  # extra fields for block_cls (multi-view)
 
@@ -338,7 +406,7 @@ class SpatialTransformer(nn.Module):
             x = conv1x1(inner, dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, x.shape[-1])
         if self.use_linear:
-            x = dense(inner, dtype=self.dtype, name="proj_in")(x)
+            x = QDense(inner, dtype=self.dtype, name="proj_in", quant=self.quant)(x)
         extra = dict(self.block_kwargs or {})
         for i in range(self.depth):
             x = self.block_cls(
@@ -348,11 +416,12 @@ class SpatialTransformer(nn.Module):
                 context_dim=self.context_dim,
                 disable_self_attn=self.disable_self_attn,
                 dtype=self.dtype,
+                quant=self.quant,
                 name=f"transformer_blocks_{i}",
                 **extra,
             )(x, context, **kwargs)
         if self.use_linear:
-            x = dense(self.in_channels, zero=True, dtype=self.dtype, name="proj_out")(x)
+            x = QDense(self.in_channels, zero=True, dtype=self.dtype, name="proj_out", quant=self.quant)(x)
         x = x.reshape(b, h, w, x.shape[-1])
         if not self.use_linear:
             x = conv1x1(self.in_channels, zero=True, dtype=self.dtype, name="proj_out")(x)
@@ -388,6 +457,7 @@ class UNetModel(nn.Module):
     dropout: float = 0.0  # 0 in every LeftRefill config; inference is deterministic
     dtype: Dtype = jnp.float32
     remat: bool = False  # jax.checkpoint on blocks (training path)
+    quant: bool = False  # W8A8 int8 inference path (ops/quant.py, opt-in)
     block_cls: type = BasicTransformerBlock
     block_kwargs: dict = None
 
@@ -419,6 +489,7 @@ class UNetModel(nn.Module):
                 context_dim=self.context_dim,
                 use_linear=self.use_linear_in_transformer,
                 dtype=self.dtype,
+                quant=self.quant,
                 block_cls=self.block_cls,
                 block_kwargs=self.block_kwargs,
                 name=name,
@@ -445,6 +516,7 @@ class UNetModel(nn.Module):
                             out_channels=mult * self.model_channels,
                             use_scale_shift_norm=self.use_scale_shift_norm,
                             dtype=self.dtype,
+                            quant=self.quant,
                             name=f"input_blocks_{idx}_0",
                         ),
                     )
@@ -477,9 +549,9 @@ class UNetModel(nn.Module):
 
         # --- middle ---------------------------------------------------------
         self.middle_block = [
-            ("res", res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0")),
+            ("res", res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, quant=self.quant, name="middle_block_0")),
             ("st", make_st(ch, "middle_block_1")),
-            ("res", res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2")),
+            ("res", res_cls(out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm, dtype=self.dtype, quant=self.quant, name="middle_block_2")),
         ]
 
         # --- output blocks --------------------------------------------------
@@ -496,6 +568,7 @@ class UNetModel(nn.Module):
                             out_channels=self.model_channels * mult,
                             use_scale_shift_norm=self.use_scale_shift_norm,
                             dtype=self.dtype,
+                            quant=self.quant,
                             name=f"output_blocks_{oidx}_0",
                         ),
                     )
