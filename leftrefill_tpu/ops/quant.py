@@ -34,7 +34,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = int(10.5 * 1024 * 1024)
+# int8 tiles pad less than bf16 ones, so the int8 planner can run slightly
+# closer to the 16MB scoped-vmem limit; lets the L0 320-ch convs use native
+# channel blocks instead of padding to 384 (-20% wasted MACs)
+_VMEM_BUDGET = int(11.5 * 1024 * 1024)
 
 
 # ---------------------------------------------------------------------------
