@@ -96,7 +96,15 @@ class QDense(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        xq: Optional[jax.Array] = None,
+        x_scale: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """xq/x_scale: optional pre-quantized input so callers applying
+        several projections to the SAME activation (q/k/v) pay the dynamic
+        quantization pass once (CrossAttention)."""
         din = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -116,8 +124,9 @@ class QDense(nn.Module):
             if kernel.dtype == jnp.int8:
                 from leftrefill_tpu.ops.quant import dense_int8, quantize_activation
 
-                xq, sx = quantize_activation(x)
-                return dense_int8(xq, sx, kernel, scale, bias, out_dtype=self.dtype)
+                if xq is None:
+                    xq, x_scale = quantize_activation(x)
+                return dense_int8(xq, x_scale, kernel, scale, bias, out_dtype=self.dtype)
         y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         if bias is not None:
             y = y + bias.astype(self.dtype)
@@ -305,9 +314,17 @@ class CrossAttention(nn.Module):
     ) -> jax.Array:
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q", quant=self.quant)(x)
-        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k", quant=self.quant)(ctx)
-        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v", quant=self.quant)(ctx)
+        xq = sx = cq = cs = None
+        if self.quant:
+            # quantize each distinct activation once; q/k/v share it when
+            # self-attending (3 projections, 1 quantization pass)
+            from leftrefill_tpu.ops.quant import quantize_activation
+
+            xq, sx = quantize_activation(x)
+            cq, cs = (xq, sx) if context is None else quantize_activation(ctx)
+        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q", quant=self.quant)(x, xq, sx)
+        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k", quant=self.quant)(ctx, cq, cs)
+        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v", quant=self.quant)(ctx, cq, cs)
         if return_attn:
             # attention-visualization path (reference debug dumper,
             # multiview_attention.py:208-295): sow the head-mean probs so

@@ -20,7 +20,7 @@ from leftrefill_tpu.train.trainer import OptimizerConfig, make_optimizer, traina
 
 # full SD2-inpainting UNet, remat on, bf16 compute
 unet = UNetModel(dtype=jnp.bfloat16, remat=True)
-B = 2  # reference trained batch 8/GPU at fp16; start at 2 to prove fit, then 8
+B = 8  # the reference per-GPU training batch (fp16); bf16 here
 x = jax.random.normal(jax.random.PRNGKey(0), (B, 64, 128, 9), jnp.bfloat16)
 t = jnp.array([500] * B, jnp.int32)
 ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 77, 1024), jnp.bfloat16)
