@@ -41,10 +41,19 @@ def pad_to_multiple(img: np.ndarray, multiple: int = 64) -> np.ndarray:
     return np.pad(img, pad, mode="edge")
 
 
-def initialize_model(exp_dir: str, sd_ckpt: Optional[str] = None, img_size: int = 512):
+def initialize_model(
+    exp_dir: str,
+    sd_ckpt: Optional[str] = None,
+    img_size: int = 512,
+    quantized: bool = False,
+):
     """Build the serving pipeline from an experiment dir
     (ref_inpainting_gradio.py:27-51).  Enables the persistent XLA compilation
-    cache so serving restarts reuse the compiled 865M graph."""
+    cache so serving restarts reuse the compiled 865M graph.
+
+    ``quantized=True`` rebuilds the UNet in the opt-in W8A8 int8 mode and
+    quantizes its weights once at load (ops/quant.py; quality must be A/B'd
+    against bf16 for the deployed checkpoint)."""
     from leftrefill_tpu.config import build_model_from_config
     from leftrefill_tpu.pipeline import RefInpaintPipeline
     from leftrefill_tpu.runtime import enable_persistent_compilation_cache
@@ -67,8 +76,28 @@ def initialize_model(exp_dir: str, sd_ckpt: Optional[str] = None, img_size: int 
     if os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
         mgr = CheckpointManager(ckpt_dir)
         params, _, _ = restore_over_base(params, mgr.restore(mgr.best_name() or "last"))
+    model = bundle.model
+    if quantized:
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        from leftrefill_tpu.ops.quant import quantize_params_like
+
+        q_unet = model.unet.clone(quant=True)
+        b = max(getattr(bundle, "view_num", 1), 1)
+        q_struct = jax.eval_shape(
+            q_unet.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((b, img_size // 8, img_size // 4, q_unet.in_channels)),
+            jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b, 77, q_unet.context_dim)),
+        )["params"]
+        params = dict(params)
+        params["unet"] = quantize_params_like(q_struct, params["unet"])
+        model = _dc.replace(model, unet=q_unet)
     return RefInpaintPipeline(
-        model=bundle.model,
+        model=model,
         params=params,
         tokenizer=bundle.cond_bundle.tokenizer,
         special_tokens=bundle.cond_bundle.special_tokens,
@@ -166,8 +195,10 @@ def main(argv=None):
     p.add_argument("--model_path", required=True)
     p.add_argument("--sd_ckpt", default=None)
     p.add_argument("--port", default=7860, type=int)
+    p.add_argument("--quantized", action="store_true",
+                   help="W8A8 int8 UNet (opt-in; A/B quality first)")
     args = p.parse_args(argv)
-    pipe = initialize_model(args.model_path, args.sd_ckpt)
+    pipe = initialize_model(args.model_path, args.sd_ckpt, quantized=args.quantized)
     build_ui(pipe).launch(server_port=args.port)
 
 

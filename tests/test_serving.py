@@ -67,3 +67,32 @@ def test_pad_to_multiple():
     p = pad_to_multiple(x, 64)
     assert p.shape == (128, 192, 3)
     assert np.array_equal(p[:100, :130], x)
+
+
+def test_predict_pads_non_64_multiple_inputs():
+    """Non-/64 inputs take the edge-padding path (ref_inpainting_gradio.py:
+    142-145,168-177) and the output crops back to img_size."""
+    import cv2  # noqa: F401  (predict imports it)
+
+    from leftrefill_tpu.serving.gradio_app import predict
+    from tests.test_pipeline import build_tiny_bundle
+    from leftrefill_tpu.models.clip import build_prompt_tokenizer
+    from leftrefill_tpu.pipeline import RefInpaintPipeline
+
+    model, params = build_tiny_bundle()
+    tok, sp, _ = build_prompt_tokenizer([f"<special-token{i}>" for i in range(4)], None)
+    pipe = RefInpaintPipeline(
+        model=model, params=params, tokenizer=tok, special_tokens=sp,
+        ddim_steps=2, guidance_scale=1.0, eta=0.0,
+    )
+    rng = np.random.RandomState(0)
+    # img_size 40 -> VAE needs /4; pad_to_multiple(64-ish) exercised via the
+    # tiny bundle's downsampling (multiple kept small through resize)
+    ref = (rng.uniform(0, 255, (50, 70, 3))).astype(np.uint8)
+    src = (rng.uniform(0, 255, (33, 41, 3))).astype(np.uint8)
+    mask = (rng.uniform(0, 255, (33, 41))).astype(np.uint8)
+    outs = predict(pipe, ref, src, mask, ddim_steps=2, num_samples=1,
+                   scale=1.0, seed=1, img_size=32)
+    assert len(outs) == 1
+    assert outs[0].shape == (32, 32, 3)
+    assert outs[0].dtype == np.uint8
