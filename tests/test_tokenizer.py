@@ -82,3 +82,34 @@ def test_multiview_token_missing_bracket_quirk():
     t = SimpleTokenizer(special_tokens=sp)
     ids = t.encode("<view_direct-0-0 <view_direct-1-2")
     assert ids == [CLIP_VOCAB_SIZE, CLIP_VOCAB_SIZE + 5]
+
+
+def test_real_bpe_merges_file(tmp_path):
+    """The bpe_path branch (exact-OpenCLIP mode) with a handcrafted merges
+    file: merges apply by rank, merged tokens get ids after the 512 byte
+    tokens, and sot/eot stay at the OpenCLIP control slots 49406/49407."""
+    import gzip
+
+    merges = "#version: 0.2\nh e\nl l\nhe ll\nhell o</w>\n"
+    path = tmp_path / "merges.txt.gz"
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write(merges)
+
+    tok = SimpleTokenizer(bpe_path=str(path), special_tokens=["<sp0>"])
+    assert tok._parity is True
+    # vocab layout: 256 bytes + 256 byte</w> + merges in rank order
+    assert tok.encoder["he"] == 512
+    assert tok.encoder["ll"] == 513
+    assert tok.encoder["hell"] == 514
+    assert tok.encoder["hello</w>"] == 515
+    assert tok.sot_token == 49406 and tok.eot_token == 49407
+    assert tok.encoder["<sp0>"] == 49408  # extended specials after the table
+
+    ids = tok.tokenize("hello")[0]
+    assert ids[0] == tok.sot_token
+    assert ids[1] == 515  # fully merged by the 4 ranked merges
+    assert ids[2] == tok.eot_token
+    # an unmergeable word stays byte tokens (+</w> on the last)
+    ids2 = tok.tokenize("xy")[0]
+    assert ids2[1] == tok.encoder["x"]
+    assert ids2[2] == tok.encoder["y</w>"]
