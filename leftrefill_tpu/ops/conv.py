@@ -59,6 +59,14 @@ def get_conv_impl() -> ConvImpl:
     return _DEFAULT_IMPL
 
 
+def on_tpu() -> bool:
+    """Shared platform probe for the kernel dispatchers."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _chan_blocks(total: int) -> list[int]:
     """Valid channel block sizes: Mosaic requires the minor block dim to be a
     multiple of 128 or the full array dim."""
@@ -69,51 +77,82 @@ def _chan_blocks(total: int) -> list[int]:
     return out
 
 
-def _pick_blocks(h: int, w: int, ci: int, co: int) -> Optional[tuple[int, int, int]]:
-    """(blk_w, blk_ci, blk_co) maximizing MXU shape quality under the VMEM
-    budget; None if no aligned configuration fits."""
-    widths = [bw for bw in (256, 128, 64, 32, 16) if w % bw == 0 and bw <= w]
+def pick_conv_blocks(
+    h: int,
+    w: int,
+    ci: int,
+    co: int,
+    *,
+    widths: tuple[int, ...],
+    x_elt: int,
+    w_elt: int,
+    o_elt: int,
+    budget: int,
+    row_floor: int = 256,
+) -> Optional[tuple[int, int, int]]:
+    """Shared block planner for the bf16 and int8 conv kernels: (blk_w,
+    blk_ci, blk_co) maximizing MXU tile quality under the VMEM budget, with
+    the element sizes of x / weights / output parameterized (acc is always
+    int32/fp32).  None if no aligned configuration fits."""
+    widths = [bw for bw in widths if w % bw == 0 and bw <= w]
     cis = _chan_blocks(ci)
     cos = _chan_blocks(co)
     if not widths or ci < 64 or co < 64:
         return None
+
     def tile_eff(c: int) -> float:
         # fraction of the 128-wide MXU tile actually used in the K/N dims
         return c / (-(-c // 128) * 128)
 
-    best, best_score = None, None
-    for bw in widths:
-        if h * bw < 256:  # too few matmul rows to stream the MXU
-            continue
-        for bci in cis:
-            for bco in cos:
-                x_bytes = 3 * (h + 2) * bw * bci * 2 * 2  # 3 shifted copies, dbl-buffered
-                acc_bytes = h * bw * bco * 4
-                w_bytes = 9 * bci * bco * 2 * 2
-                o_bytes = h * bw * bco * 2 * 2
-                if x_bytes + acc_bytes + w_bytes + o_bytes > _VMEM_BUDGET:
-                    continue
-                # lexicographic: MXU tile efficiency in K and N, then larger
-                # blocks (fewer grid steps / DMA setups), then wider columns
-                score = (round(tile_eff(bci) * tile_eff(bco), 3), bci * bco, bw)
-                if best_score is None or score > best_score:
-                    best, best_score = (bw, bci, bco), score
-    if best is None and widths:
-        # retry without the row floor (tiny spatial levels)
+    def search(min_rows: int):
+        best, best_score = None, None
         for bw in widths:
+            if h * bw < min_rows:  # too few matmul rows to stream the MXU
+                continue
             for bci in cis:
                 for bco in cos:
-                    tot = (
-                        3 * (h + 2) * bw * bci * 4
-                        + h * bw * bco * 8
-                        + 9 * bci * bco * 4
-                    )
-                    if tot > _VMEM_BUDGET:
+                    x_bytes = 3 * (h + 2) * bw * bci * x_elt * 2  # 3 copies, dbl-buffered
+                    acc_bytes = h * bw * bco * 4
+                    w_bytes = 9 * bci * bco * w_elt * 2
+                    o_bytes = h * bw * bco * o_elt * 2
+                    if x_bytes + acc_bytes + w_bytes + o_bytes > budget:
                         continue
+                    # lexicographic: MXU tile efficiency in K and N, then
+                    # larger blocks (fewer grid steps), then wider columns
                     score = (round(tile_eff(bci) * tile_eff(bco), 3), bci * bco, bw)
                     if best_score is None or score > best_score:
                         best, best_score = (bw, bci, bco), score
+        return best
+
+    best = search(row_floor)
+    if best is None and row_floor:
+        best = search(0)  # tiny spatial levels
     return best
+
+
+def plan_conv_blocks(h, w, ci, co, **kw):
+    """pick_conv_blocks with the zero-padded-Ci fallback: returns
+    ((blk_w, blk_ci, blk_co), ci_effective) or None.  Non-128-aligned input
+    channel counts (e.g. the 960-ch skip concats) pad to the next 128
+    multiple; output channels are never padded."""
+    blocks = pick_conv_blocks(h, w, ci, co, **kw)
+    if blocks is not None:
+        return blocks, ci
+    ci_pad = -(-ci // 128) * 128
+    if ci_pad != ci:
+        blocks = pick_conv_blocks(h, w, ci_pad, co, **kw)
+        if blocks is not None:
+            return blocks, ci_pad
+    return None
+
+
+_BF16_PLAN_KW = dict(
+    widths=(256, 128, 64, 32, 16), x_elt=2, w_elt=2, o_elt=2, budget=_VMEM_BUDGET
+)
+
+
+def _pick_blocks(h: int, w: int, ci: int, co: int) -> Optional[tuple[int, int, int]]:
+    return pick_conv_blocks(h, w, ci, co, **_BF16_PLAN_KW)
 
 
 # tap accumulation strategy: "sum9" = 9 separate MXU matmuls accumulated in
@@ -182,18 +221,7 @@ def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref, *, tap_mo
 
 
 def _plan(h: int, w: int, ci: int, co: int) -> Optional[tuple[tuple[int, int, int], int]]:
-    """(blocks, ci_effective): native Ci first, else Ci zero-padded to the
-    next 128 multiple (e.g. the 960-channel skip-concat convs -> 1024, which
-    admits 128/256 channel blocks).  Output channels are never padded."""
-    blocks = _pick_blocks(h, w, ci, co)
-    if blocks is not None:
-        return blocks, ci
-    ci_pad = -(-ci // 128) * 128
-    if ci_pad != ci:
-        blocks = _pick_blocks(h, w, ci_pad, co)
-        if blocks is not None:
-            return blocks, ci_pad
-    return None
+    return plan_conv_blocks(h, w, ci, co, **_BF16_PLAN_KW)
 
 
 def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
@@ -286,12 +314,8 @@ conv3x3_op.defvjp(_fwd, _bwd)
 
 
 def conv3x3_qualifies(h: int, w: int, ci: int, co: int) -> bool:
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
     return (
-        on_tpu
+        on_tpu()
         and ci >= 64
         and co >= 64
         and h * w >= 256

@@ -285,7 +285,11 @@ def _flash_backward(q, k, v, o, l, g, scale):
     )(qf, kf, vf, gf, lf, df)
 
     blk_k = min(DEFAULT_BLOCK_Q, nk)
-    chunk = min(DKV_Q_CHUNK, nq)
+    # chunk must DIVIDE nq or the dkv grid floor-division silently drops the
+    # tail q rows from dk/dv (caught by review at nq=640); nq % 128 == 0 is
+    # dispatcher-guaranteed, so a valid chunk always exists
+    chunk = next(c for c in (DKV_Q_CHUNK, 256, 128) if nq % c == 0 and c <= nq)
+    assert nq % chunk == 0, (nq, chunk)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, safe=_SAFE_SOFTMAX),
         out_shape=(

@@ -34,10 +34,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# int8 tiles pad less than bf16 ones, so the int8 planner can run slightly
+# Planner machinery shared with ops/conv.py (parameterized by element sizes).
+# int8 tiles pad less than bf16 ones, so the int8 planner runs slightly
 # closer to the 16MB scoped-vmem limit; lets the L0 320-ch convs use native
-# channel blocks instead of padding to 384 (-20% wasted MACs)
-_VMEM_BUDGET = int(11.5 * 1024 * 1024)
+# channel blocks instead of padding to 384 (-20% wasted MACs).
+_INT8_PLAN_KW = dict(
+    widths=(128, 64, 32), x_elt=1, w_elt=1, o_elt=2,
+    budget=int(11.5 * 1024 * 1024), row_floor=0,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -89,50 +93,10 @@ def dense_int8(
 # int8 3x3 conv kernel (structure mirrors ops/conv.py)
 
 
-def _chan_blocks(total: int) -> list[int]:
-    out = [total]
-    for c in (1024, 896, 768, 640, 512, 384, 256, 128):
-        if c < total and total % c == 0:
-            out.append(c)
-    return out
-
-
-def _pick_blocks_int8(h: int, w: int, ci: int, co: int):
-    """int8 tiles: x/w bytes halve, acc is int32; sublane tile for int8 is 32
-    so column blocks are multiples of 32."""
-    widths = [bw for bw in (128, 64, 32) if w % bw == 0 and bw <= w]
-    if not widths or ci < 64 or co < 64:
-        return None
-
-    def tile_eff(c: int) -> float:
-        return c / (-(-c // 128) * 128)
-
-    best, best_score = None, None
-    for bw in widths:
-        for bci in _chan_blocks(ci):
-            for bco in _chan_blocks(co):
-                x_bytes = 3 * (h + 2) * bw * bci * 1 * 2
-                acc_bytes = h * bw * bco * 4
-                w_bytes = 9 * bci * bco * 1 * 2
-                o_bytes = h * bw * bco * 2 * 2
-                if x_bytes + acc_bytes + w_bytes + o_bytes > _VMEM_BUDGET:
-                    continue
-                score = (round(tile_eff(bci) * tile_eff(bco), 3), bci * bco, bw)
-                if best_score is None or score > best_score:
-                    best, best_score = (bw, bci, bco), score
-    return best
-
-
 def _plan_int8(h, w, ci, co):
-    blocks = _pick_blocks_int8(h, w, ci, co)
-    if blocks is not None:
-        return blocks, ci
-    ci_pad = -(-ci // 128) * 128
-    if ci_pad != ci:
-        blocks = _pick_blocks_int8(h, w, ci_pad, co)
-        if blocks is not None:
-            return blocks, ci_pad
-    return None
+    from leftrefill_tpu.ops.conv import plan_conv_blocks
+
+    return plan_conv_blocks(h, w, ci, co, **_INT8_PLAN_KW)
 
 
 def _conv_int8_kernel(x0, x1, x2, w_ref, sc_ref, b_ref, o_ref, acc_ref):
@@ -229,12 +193,10 @@ def conv3x3_int8(
 
 
 def conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int) -> bool:
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
+    from leftrefill_tpu.ops.conv import on_tpu
+
     return (
-        on_tpu and ci >= 64 and co >= 64 and h * w >= 256
+        on_tpu() and ci >= 64 and co >= 64 and h * w >= 256
         and _plan_int8(h, w, ci, co) is not None
     )
 

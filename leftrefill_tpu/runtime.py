@@ -26,7 +26,9 @@ _CACHE_ENABLED = False
 
 
 def enable_persistent_compilation_cache(cache_dir: Optional[str] = None) -> str:
-    """Enable jax's persistent compilation cache (idempotent); returns dir."""
+    """Enable jax's persistent compilation cache (idempotent).  Returns the
+    ACTIVE cache directory — on a repeated call with a different path the
+    first directory stays in effect and is what is returned."""
     global _CACHE_ENABLED
     import jax
 
@@ -40,7 +42,7 @@ def enable_persistent_compilation_cache(cache_dir: Optional[str] = None) -> str:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _CACHE_ENABLED = True
-    return cache_dir
+    return jax.config.jax_compilation_cache_dir
 
 
 class LoraAdapterStore:

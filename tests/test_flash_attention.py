@@ -126,3 +126,22 @@ def test_flash_safe_softmax_mode():
             assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-3
     finally:
         fa.set_safe_softmax(False)
+
+
+def test_flash_backward_non_512_multiple_nq():
+    """Regression: nq=640 (multiple of 128, NOT of the 512 dkv chunk) must
+    not drop the tail q rows from dk/dv (review finding, r2)."""
+    B, H, NQ, NK, D = 1, 1, 640, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = jax.random.normal(ks[0], (B, H, NQ, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, NK, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, NK, D), jnp.float32)
+    g = jax.random.normal(ks[3], (B, H, NQ, D), jnp.float32)
+    scale = D**-0.5
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(lambda a, b, c: flash_attention(a, b, c, scale), q, k, v)
+        dq, dk, dv = vjp(g)
+    _, vjp_r = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale), q, k, v)
+    for got, want, name in zip((dq, dk, dv), vjp_r(g), ("dq", "dk", "dv")):
+        err = np.abs(np.asarray(got) - np.asarray(want)).max()
+        assert err < 1e-5, f"{name}: {err}"

@@ -55,7 +55,7 @@ def test_full_gradient_path_descends():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.5 * losses[0], f"no descent: {losses[0]:.4f} -> {losses[-1]:.4f}"
-    # only the prompt table moved
+    # sanity: the prompt table is among the parameters that moved
     d = np.abs(
         np.asarray(state.params["cond"]["special_embeddings"])
         - np.asarray(params["cond"]["special_embeddings"])
