@@ -116,7 +116,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, safe: bool
         p = jnp.exp(s - m)
     else:
         p = jnp.exp(jnp.minimum(s, CLAMP))
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    # underflow guard (advisor r2): a q-row whose every logit is below ~-87
+    # gives p==0 for all keys and l==0; clamp the divisor so o degrades to 0
+    # (and lse to a finite floor) instead of NaN.  One [blk_q,1] VPU op.
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), jnp.finfo(jnp.float32).tiny)
     o = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
@@ -195,6 +198,10 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, 
         preferred_element_type=jnp.float32,
     )
     ds = p * (dp - dcap)
+    if not safe:
+        # clamp envelope (advisor r2): for s > CLAMP the forward is constant
+        # in s (min saturates), so its true gradient is 0 — mask it
+        ds = jnp.where(s <= CLAMP, ds, 0.0)
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -237,6 +244,8 @@ def _flash_bwd_dkv_kernel(
         preferred_element_type=jnp.float32,
     )  # [chunk, blk_k]
     ds = p * (dp - dcap)
+    if not safe:
+        ds = jnp.where(s <= CLAMP, ds, 0.0)  # clamp envelope, as in dq kernel
     dk_acc[...] += jax.lax.dot_general(
         ds.astype(k.dtype), q.astype(k.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),

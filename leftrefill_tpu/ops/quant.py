@@ -90,7 +90,142 @@ def dense_int8(
 
 
 # ---------------------------------------------------------------------------
-# int8 3x3 conv kernel (structure mirrors ops/conv.py)
+# int8 3x3 conv kernels
+#
+# Two kernel strategies, per-shape dispatched:
+#
+# - "single" (round-3, from the committed probe scripts/tpu_conv_single_probe.py,
+#   105 vs 86 TOPS at the L0-like 384-ch shape): ONE padded int8 input block
+#   holding the full (H+2, W+2) spatial extent; the 9 taps slice it in VMEM
+#   (Mosaic relayouts the off-lane column shifts).  Kills the 3-copy HBM
+#   prologue (3x write + 3x read of the activation).  Needs the whole padded
+#   spatial slab per ci-block to fit VMEM — true for every UNet level at int8
+#   (64x128 down to 8x16), not for the 512x1024 VAE convs (those are bf16
+#   anyway).
+# - "copy3": the r2 kernel (three column-shifted copies, exact column
+#   blocking) — fallback for shapes whose spatial slab exceeds VMEM.
+
+import os
+
+_INT8_CONV_MODE = os.environ.get("LEFTREFILL_INT8_CONV", "auto")  # auto|single|copy3
+
+
+def set_int8_conv_mode(mode: str) -> None:
+    global _INT8_CONV_MODE
+    assert mode in ("auto", "single", "copy3")
+    _INT8_CONV_MODE = mode
+
+
+def _ceil128(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024)):
+    """Block plan for the single-input kernel: (blk_ci, blk_co, ci_eff, co_eff)
+    or None.  Channel counts may be zero-padded to a 128 multiple on EITHER
+    side (the output is sliced back); MXU cost is unchanged by padding-to-128
+    (a K/N dim of 320 occupies the same 3 tiles as 384), so the score just
+    minimizes total MXU tiles, then grid steps."""
+    from leftrefill_tpu.ops.conv import _chan_blocks
+
+    best, best_score = None, None
+    for ci_eff in {ci, _ceil128(ci)}:
+        for bci in _chan_blocks(ci_eff):
+            for co_eff in {co, _ceil128(co)}:
+                for bco in _chan_blocks(co_eff):
+                    x_b = (h + 2) * (w + 2) * bci * 2  # int8, dbl-buffered
+                    w_b = 9 * bci * bco * 2
+                    acc_b = h * w * bco * 4
+                    o_b = h * w * bco * 2 * 2  # bf16 out, dbl-buffered
+                    if x_b + w_b + acc_b + o_b > budget:
+                        continue
+                    tiles = ((ci_eff // bci) * (-(-bci // 128))) * (
+                        (co_eff // bco) * (-(-bco // 128))
+                    )
+                    score = (-tiles, bci * bco, -(ci_eff + co_eff))
+                    if best_score is None or score > best_score:
+                        best, best_score = (bci, bco, ci_eff, co_eff), score
+    return best
+
+
+def _conv_int8_single_kernel(xp_ref, w_ref, sc_ref, b_ref, o_ref, acc_ref):
+    ci = pl.program_id(2)
+
+    @pl.when(ci == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = o_ref.shape[1]
+    wd = o_ref.shape[2]
+    bci = xp_ref.shape[3]
+    for dy in range(3):
+        for dx in range(3):
+            xs = xp_ref[0, dy : dy + h, dx : dx + wd].reshape(h * wd, bci)
+            acc_ref[...] += jax.lax.dot_general(
+                xs, w_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+    @pl.when(ci == pl.num_programs(2) - 1)
+    def _write():
+        r = acc_ref[...].astype(jnp.float32) * sc_ref[0] + b_ref[0].astype(jnp.float32)
+        o_ref[0] = r.reshape(h, wd, o_ref.shape[3]).astype(o_ref.dtype)
+
+
+def conv3x3_int8_single(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Single-input variant of conv3x3_int8 (see module comment).  Caller must
+    check the plan exists."""
+    b, h, wd, ci = x.shape
+    co = wq.shape[-1]
+    plan = _plan_int8_single(h, wd, ci, co)
+    assert plan is not None, "caller must check _plan_int8_single"
+    bci, bco, ci_eff, co_eff = plan
+
+    xq, sx = quantize_activation(x)
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, ci_eff - ci)))
+    if (ci_eff, co_eff) != (ci, co):
+        wq = jnp.pad(wq, ((0, 0), (0, 0), (0, ci_eff - ci), (0, co_eff - co)))
+    scales = jnp.pad(sx * w_scale.astype(jnp.float32), (0, co_eff - co)).reshape(1, co_eff)
+    bias2 = jnp.pad(bias.astype(jnp.float32), (0, co_eff - co)).reshape(1, co_eff)
+
+    out = pl.pallas_call(
+        _conv_int8_single_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype),
+        grid=(b, co_eff // bco, ci_eff // bci),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + 2, wd + 2, bci),
+                lambda bi, coj, cij: (bi, 0, 0, cij),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3, bci, bco),
+                lambda bi, coj, cij: (0, 0, cij, coj),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, bco), lambda bi, coj, cij: (0, coj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bco), lambda bi, coj, cij: (0, coj), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, wd, bco),
+            lambda bi, coj, cij: (bi, 0, 0, coj),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((h * wd, bco), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * b * h * wd * ci_eff * co_eff,
+            bytes_accessed=x.size + wq.size + b * h * wd * co_eff * 2,
+            transcendentals=0,
+        ),
+    )(xp, wq, scales, bias2)
+    return out[..., :co] if co_eff != co else out
 
 
 def _plan_int8(h, w, ci, co):
@@ -133,7 +268,32 @@ def conv3x3_int8(
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """3x3 stride-1 pad-1 conv with int8 weights (HWIO) + dynamic int8
-    activations; NHWC.  Caller must check conv3x3_int8_qualifies."""
+    activations; NHWC.  Dispatches single-input vs 3-copy per shape (see the
+    kernel section comment).  Caller must check conv3x3_int8_qualifies."""
+    b, h, wd, ci = x.shape
+    co = wq.shape[-1]
+    mode = _INT8_CONV_MODE
+    if mode == "auto":
+        # measured on v5e (scripts/tpu_r3_convshapes.py, /tmp logs r3): with
+        # the activation-quantize pass included on BOTH sides, copy3 wins or
+        # ties at every UNet shape where it has a plan (e.g. L0 320ch: 0.326
+        # vs 0.431 ms — the r2 probe's +19% for single timed copy3 WITH
+        # quantization but single WITHOUT it).  single's role is the small
+        # 8x16 levels where copy3 has no aligned column plan.
+        mode = "copy3" if _plan_int8(h, wd, ci, co) is not None else "single"
+    if mode == "single" and _plan_int8_single(h, wd, ci, co) is not None:
+        return conv3x3_int8_single(x, wq, w_scale, bias, out_dtype)
+    return conv3x3_int8_copy3(x, wq, w_scale, bias, out_dtype)
+
+
+def conv3x3_int8_copy3(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """3-copy int8 conv (r2 kernel): three column-shifted input copies."""
     b, h, wd, ci = x.shape
     co = wq.shape[-1]
     plan = _plan_int8(h, wd, ci, co)
@@ -195,9 +355,15 @@ def conv3x3_int8(
 def conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int) -> bool:
     from leftrefill_tpu.ops.conv import on_tpu
 
+    # h*w >= 128 (not 256): the single-input kernel covers the 8x16 UNet
+    # level (h*w = 128), which previously fell back to a per-call
+    # weight-dequantize + XLA conv
     return (
-        on_tpu() and ci >= 64 and co >= 64 and h * w >= 256
-        and _plan_int8(h, w, ci, co) is not None
+        on_tpu() and ci >= 64 and co >= 64 and h * w >= 128
+        and (
+            _plan_int8(h, w, ci, co) is not None
+            or _plan_int8_single(h, w, ci, co) is not None
+        )
     )
 
 

@@ -105,6 +105,28 @@ def initialize_model(
     )
 
 
+def pipeline_variant(pipeline, ddim_steps: int, scale: float):
+    """Per-request pipeline for a (steps, scale) config — replaces the r2
+    in-place mutation (advisor r2: concurrent gradio requests raced on the
+    shared object and one request's config could apply to another's run).
+    ``dataclasses.replace`` shares model/params by reference; variants are
+    cached on the base pipeline so each config jits once."""
+    import dataclasses
+
+    if ddim_steps == pipeline.ddim_steps and scale == pipeline.guidance_scale:
+        return pipeline
+    cache = getattr(pipeline, "_variants", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(pipeline, "_variants", cache)
+    key = (ddim_steps, scale)
+    if key not in cache:
+        cache[key] = dataclasses.replace(
+            pipeline, ddim_steps=ddim_steps, guidance_scale=scale
+        )
+    return cache[key]
+
+
 def predict(
     pipeline,
     reference: np.ndarray,
@@ -142,9 +164,7 @@ def predict(
     image = np.repeat(image, num_samples, axis=0)
     full_mask = np.repeat(full_mask, num_samples, axis=0)
 
-    pipeline.ddim_steps = ddim_steps
-    pipeline.guidance_scale = scale
-    pipeline.__post_init__()  # rebuild the jitted fn for new static config
+    pipeline = pipeline_variant(pipeline, ddim_steps, scale)
     # seeded start code (ref_inpainting_gradio.py:88-91); latent size follows
     # the VAE's downsampling factor (8x for SD2, smaller in test configs)
     ds = 2 ** (len(pipeline.model.vae.ddconfig.ch_mult) - 1)

@@ -106,6 +106,20 @@ def create_train_state(
     config: OptimizerConfig = OptimizerConfig(),
     predicate: Callable[[tuple], bool] = prompt_only_predicate,
 ) -> tuple[TrainState, optax.GradientTransformation]:
+    # W8A8 trees are inference-only (advisor r2): jnp.round in
+    # quantize_activation has zero gradient and int8 kernels are leaves, so a
+    # quantized tree under differentiation would silently train on
+    # zero/meaningless gradients.  Refuse up front.
+    bad = [
+        jax.tree_util.keystr(path)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        if getattr(leaf, "dtype", None) == jnp.int8
+    ]
+    if bad:
+        raise ValueError(
+            "params contain int8 (W8A8-quantized) leaves — the quantized tree "
+            f"is inference-only and must not be trained: {bad[:3]}..."
+        )
     mask = trainable_mask(params, predicate)
     tx = make_optimizer(config, mask)
     opt_state = tx.init(params)

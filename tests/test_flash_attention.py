@@ -46,6 +46,39 @@ def test_flash_large_logits_no_overflow():
     assert np.abs(out - ref).max() < 1e-3
 
 
+def test_flash_all_logits_underflow_is_finite():
+    """Advisor r2: a q-row whose every logit is below ~-87 used to give
+    l==0 and o = 0/0 = NaN in non-safe mode; the divisor guard must make the
+    output finite (degrades to 0) instead."""
+    B, H, N, D = 1, 1, 256, 64
+    key = jax.random.PRNGKey(7)
+    # all logits ~ -8000: exp underflows to exactly 0 for every key
+    q = jnp.full((B, H, N, D), -10.0, jnp.float32)
+    k = jnp.abs(jax.random.normal(key, (B, H, N, D), jnp.float32)) + 1.0
+    v = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, D), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_attention(q, k, v, 1.0))
+    assert np.isfinite(out).all()
+
+
+def test_flash_gradient_masked_outside_clamp_envelope():
+    """Advisor r2: for logits beyond CLAMP the forward is constant in s, so
+    d/dq must be ~0 there (ds masked), not the unmasked p*(dp-D)."""
+    B, H, N, D = 1, 1, 256, 64
+    key = jax.random.PRNGKey(8)
+    # one dominant key direction with logits way past CLAMP=75
+    q = jnp.abs(jax.random.normal(key, (B, H, N, D), jnp.float32)) + 2.0
+    k = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, D), jnp.float32)) + 2.0
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, D), jnp.float32)
+    # logits ~ sum(|q_d| * |k_d|) >= 4*D = 256 >> 75: every score saturates
+    with pltpu.force_tpu_interpret_mode():
+        gq = jax.grad(
+            lambda q: jnp.sum(flash_attention(q, k, v, 1.0) ** 2)
+        )(q)
+    # all scores clamped -> p uniform & constant in q -> dq == 0
+    assert np.abs(np.asarray(gq)).max() < 1e-5
+
+
 def test_flash_gradients_match_reference():
     """Custom VJP: gradients equal the XLA fp32-softmax attention gradients."""
     B, H, N, D = 1, 2, 256, 64

@@ -31,6 +31,48 @@ def test_int8_conv_kernel_matches_emulated_reference():
     assert np.abs(out - ref).max() < 1e-4
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 16, 32, 128, 128),   # aligned
+        (1, 16, 32, 160, 96),    # both sides need 128-padding
+        (1, 8, 16, 320, 320),    # the L0 channel count (pads to 384)
+    ],
+)
+def test_int8_conv_single_matches_emulated_reference(shape):
+    """Single-input kernel (round-3) == the emulated int8 oracle, including
+    the channel-padded plans where the output is sliced back."""
+    from leftrefill_tpu.ops.quant import _plan_int8_single, conv3x3_int8_single
+
+    b, h, w_, ci, co = shape
+    assert _plan_int8_single(h, w_, ci, co) is not None
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (b, h, w_, ci), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, ci, co), jnp.float32) * 0.05
+    bias = jax.random.normal(ks[2], (co,), jnp.float32)
+    wq, ws = quantize_weight(w)
+    ref = np.asarray(conv3x3_int8_reference(x, wq, ws, bias))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(conv3x3_int8_single(x, wq, ws, bias, out_dtype=jnp.float32))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_int8_conv_single_plan_covers_unet_levels():
+    """Every conv shape in the 865M UNet (64x128 latent) has a single-input
+    plan — the whole int8 conv path should take the faster kernel."""
+    from leftrefill_tpu.ops.quant import _plan_int8_single
+
+    shapes = [
+        (64, 128, 320, 320), (64, 128, 640, 320), (64, 128, 960, 320),
+        (32, 64, 640, 640), (32, 64, 960, 640), (32, 64, 1280, 640),
+        (16, 32, 1280, 1280), (16, 32, 1920, 1280), (16, 32, 2560, 1280),
+        (8, 16, 1280, 1280), (8, 16, 2560, 1280),
+    ]
+    for h, w, ci, co in shapes:
+        assert _plan_int8_single(h, w, ci, co) is not None, (h, w, ci, co)
+
+
 def test_int8_conv_accuracy_vs_fp():
     """W8A8 relative error at SD-like magnitudes stays ~1%."""
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
