@@ -99,8 +99,10 @@ def main(argv=None) -> int:
     from leftrefill_tpu.train.trainer import (
         OptimizerConfig,
         create_train_state,
+        current_lr,
         make_train_step,
         prompt_only_predicate,
+        reduce_metrics_across_hosts,
     )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -265,7 +267,7 @@ def main(argv=None) -> int:
                 dt = timer.stop(step)
                 if step % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    m["lr"] = opt_config.lr
+                    m["lr"] = current_lr(opt_config, step)
                     m["step_time_s"] = dt
                     sp_tree = state.params["model"] if "lora" in state.params and "model" in state.params else state.params
                     m.update(drift.drift(np.asarray(sp_tree["cond"]["special_embeddings"])))
@@ -284,6 +286,10 @@ def main(argv=None) -> int:
             # validation (check_val_every_n_epoch, validation_step semantics)
             if epoch % config.get("check_val_every_n_epoch", 1) == 0:
                 vals = []
+                # val_batches: explicit smoke-test cap; set to null/None in the
+                # config to validate the FULL loader like the reference
+                # (ref_inpainting_ldm.py:119-146)
+                val_cap = config.get("val_batches", 8)
                 for i, vb in enumerate(val_loader):
                     if is_mv and vb["image"].ndim == 5:
                         vb = flatten_views(vb)
@@ -293,9 +299,12 @@ def main(argv=None) -> int:
                             ddim_steps=config.get("val_ddim_steps", 50),
                         )
                     )
-                    if i + 1 >= config.get("val_batches", 8):
+                    if val_cap is not None and i + 1 >= val_cap:
                         break
                 vmean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]} if vals else {}
+                # sync_dist equivalent: average across hosts BEFORE top-k
+                # checkpoint selection (ref_inpainting_ldm.py:142-144)
+                vmean = reduce_metrics_across_hosts(vmean)
                 mlog.log(step, vmean)
                 print(f"Epoch {epoch}: {vmean}")
                 if host == 0:

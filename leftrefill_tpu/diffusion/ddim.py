@@ -102,12 +102,16 @@ def ddim_sample(
     x0: Optional[jax.Array] = None,
     temperature: float = 1.0,
     ucg_schedule: Optional[np.ndarray] = None,
-) -> jax.Array:
+    return_intermediates: bool = False,
+):
     """Full DDIM sampling loop (ddim_sampling, ddim.py:224-302) as one scan.
 
     mask/x0: latent-space known-region renoising — mask==1 pixels are replaced
     by q_sample(x0, t) each step (ddim.py:257-260).
-    Returns the final latent [*shape].
+    Returns the final latent [*shape]; with ``return_intermediates`` also a
+    dict of per-step stacks {"x_inter": [S, *shape], "pred_x0": [S, *shape]}
+    (the reference's intermediates log, ddim.py:245-300 — used for the
+    denoise_row diagnostics in log_images, ddpm.py:1221-1224).
     """
     use_cfg = uncond is not None and guidance_scale != 1.0
     uncond_ = uncond if use_cfg else None
@@ -136,14 +140,17 @@ def ddim_sample(
         out = _guided_eps(model, apply_fn, img, t, cond, uncond_, step["g"])
         nk = jax.random.fold_in(jax.random.fold_in(key, 2), step["i"])
         noise = jax.random.normal(nk, img.shape, img.dtype)
-        img, _ = _ddim_update(
+        img, pred_x0 = _ddim_update(
             model, img, t, out,
             step["a_t"], step["a_prev"], step["sqrt_one_minus_at"], step["sigma"],
             noise, temperature,
         )
-        return img, None
+        ys = (img, pred_x0) if return_intermediates else None
+        return img, ys
 
-    img, _ = jax.lax.scan(body, img, tabs)
+    img, ys = jax.lax.scan(body, img, tabs)
+    if return_intermediates:
+        return img, {"x_inter": ys[0], "pred_x0": ys[1]}
     return img
 
 

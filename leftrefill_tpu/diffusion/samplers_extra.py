@@ -39,10 +39,16 @@ def ddpm_sample(
     x_T: Optional[jax.Array] = None,
     clip_denoised: bool = False,
     temperature: float = 1.0,
-) -> jax.Array:
+    return_x0_every: Optional[int] = None,
+):
     """Full-schedule ancestral sampling (p_sample_loop, ddpm.py:999-1062):
     x_{t-1} = posterior_mean(x0_pred, x_t) + exp(0.5 log_var) * noise,
-    no noise at t=0."""
+    no noise at t=0.
+
+    ``return_x0_every=k``: additionally collect the x0 partial prediction
+    every k steps (progressive_denoising's intermediates, ddpm.py:1065-1104)
+    and return ``(img, x0s [n/k, *shape])``.  Implemented as a chunked
+    double-scan so only n/k intermediates are ever materialized."""
     s = model.schedule
     n = s.num_timesteps
     b = shape[0]
@@ -72,10 +78,27 @@ def ddpm_sample(
         noise = jax.random.normal(nk, img.shape, img.dtype) * temperature
         nonzero = (step["t"] > 0).astype(img.dtype)
         img = mean + nonzero * jnp.exp(0.5 * step["logvar"]) * noise
-        return img, None
+        return img, x0
 
-    img, _ = jax.lax.scan(body, img, tabs)
-    return img
+    if return_x0_every is None:
+        img, _ = jax.lax.scan(lambda c, s: (body(c, s)[0], None), img, tabs)
+        return img
+
+    k = return_x0_every
+    assert n % k == 0, f"return_x0_every={k} must divide num_timesteps={n}"
+    chunked = {name: v.reshape(n // k, k, *v.shape[1:]) for name, v in tabs.items()}
+
+    def inner(carry, step):
+        img, _ = carry
+        img2, x0 = body(img, step)
+        return (img2, x0), None
+
+    def outer(img, chunk):
+        (img, x0_last), _ = jax.lax.scan(inner, (img, jnp.zeros_like(img)), chunk)
+        return img, x0_last  # x0 partial at the end of each k-step chunk
+
+    img, x0_stack = jax.lax.scan(outer, img, chunked)
+    return img, x0_stack
 
 
 def _ddim_x_prev(x, e_t, a_t, a_prev):
@@ -160,40 +183,68 @@ def dpm_solver_pp_2m_sample(
     guidance_scale: float = 1.0,
     x_T: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """DPM-Solver++(2M): deterministic 2nd-order multistep on the data
-    prediction.  Uses the DDIM sub-schedule's timesteps; exact for constant
-    x0 predictions (1st-order limit == DDIM eta=0)."""
+    """DPM-Solver++(2M), reference-exact (round-3 rewrite for trajectory
+    parity with the vendored sampler — tested in tests/test_sampler_golden.py).
+
+    Replicates DPMSolverSampler.sample (dpm_solver/sampler.py:82-85:
+    predict_x0=True, method='multistep', order=2, skip_type='time_uniform',
+    lower_order_final=True) and DPM_Solver.sample (dpm_solver.py:939-1030):
+
+    - continuous time grid linspace(T=1, t_0=1/N, steps+1) (get_time_steps),
+    - discrete noise schedule: lambda(t) by piecewise-linear interpolation of
+      0.5*log(alphas_cumprod) over t_array=(i+1)/N (NoiseScheduleVP
+      'discrete'), model called at t_input=(t - 1/N)*1000 — FLOAT timesteps,
+    - first-order init step, second-order multistep body
+      (multistep_dpm_solver_second_update, solver_type='dpmsolver':
+      x = (sigma_t/sigma_s) x - alpha_t phi_1 (m0 + D1_0/2)),
+    - lower_order_final: the LAST step drops to first order when steps < 15
+      (dpm_solver.py:1015-1018) — at the 20-step serving config it stays
+      second order.
+
+    ``tables`` supplies only the step count (the grid is time-uniform, not
+    the DDIM sub-schedule).
+    """
     uncond_ = uncond if (uncond is not None and guidance_scale != 1.0) else None
     b = shape[0]
+    n_train = model.schedule.num_timesteps
+    steps = tables.num_steps
     key, init_key = jax.random.split(key)
     x = x_T if x_T is not None else jax.random.normal(init_key, shape, dtype=jnp.float32)
 
-    # descending-t tables; alpha = sqrt(abar), sigma = sqrt(1-abar)
-    tabs = _scan_tables(tables)
-    abar = np.concatenate([tabs["a_t"], tabs["a_prev"][-1:]])  # + final (t->0)
-    t_seq = np.concatenate([tabs["t"], np.asarray([0], np.int32)])
-    alpha = np.sqrt(abar)
-    sigma = np.sqrt(np.maximum(1.0 - abar, 1e-12))
-    lam = np.log(alpha) - np.log(sigma)
-    n = tables.num_steps
+    # grid + schedule functions, all precomputed host-side in f64
+    log_ac = 0.5 * np.log(np.asarray(model.schedule.alphas_cumprod, np.float64))
+    t_array = np.arange(1, n_train + 1, dtype=np.float64) / n_train
+    ts = np.linspace(1.0, 1.0 / n_train, steps + 1)
+    log_alpha = np.interp(ts, t_array, log_ac)
+    alpha = np.exp(log_alpha)
+    sigma = np.sqrt(np.maximum(1.0 - np.exp(2.0 * log_alpha), 1e-20))
+    lam = log_alpha - np.log(sigma)
+    t_input = (ts - 1.0 / n_train) * 1000.0  # get_model_input_time (discrete)
 
-    def x0_pred(x, i):
-        t = jnp.full((b,), int(t_seq[i]), dtype=jnp.int32)
+    def x0_of(x, i):
+        t = jnp.full((b,), np.float32(t_input[i]), dtype=jnp.float32)
         out = _guided_eps(model, apply_fn, x, t, cond, uncond_, guidance_scale)
         if model.parameterization == "v":
-            return model.predict_start_from_z_and_v(x, t, out)
-        return (x - sigma[i] * out) / alpha[i]
+            # model_wrapper 'v': eps = alpha_t * v + sigma_t * x
+            out = np.float32(alpha[i]) * out + np.float32(sigma[i]) * x
+        return (x - np.float32(sigma[i]) * out) / np.float32(alpha[i])
 
-    # first step: DDIM-like (1st order)
-    d_prev = x0_pred(x, 0)
-    h_prev = lam[1] - lam[0]
-    x = (sigma[1] / sigma[0]) * x - alpha[1] * jnp.expm1(-h_prev) * d_prev
+    # init: model at t_T, then a first-order step to ts[1]
+    m_prev = x0_of(x, 0)
+    h = lam[1] - lam[0]
+    x = np.float32(sigma[1] / sigma[0]) * x - np.float32(alpha[1] * np.expm1(-h)) * m_prev
 
-    for i in range(1, n):
-        d_cur = x0_pred(x, i)
-        h = lam[i + 1] - lam[i]
-        r = h_prev / h
-        d = (1 + 1 / (2 * r)) * d_cur - (1 / (2 * r)) * d_prev
-        x = (sigma[i + 1] / sigma[i]) * x - alpha[i + 1] * jnp.expm1(-h) * d
-        d_prev, h_prev = d_cur, h
+    for step in range(2, steps + 1):
+        m_cur = x0_of(x, step - 1)
+        order = 1 if (steps < 15 and step == steps) else 2
+        h = lam[step] - lam[step - 1]
+        c_x = np.float32(sigma[step] / sigma[step - 1])
+        c_m = np.float32(alpha[step] * np.expm1(-h))
+        if order == 2:
+            r0 = (lam[step - 1] - lam[step - 2]) / h
+            d1 = (m_cur - m_prev) / np.float32(r0)
+            x = c_x * x - c_m * m_cur - 0.5 * c_m * d1
+        else:
+            x = c_x * x - c_m * m_cur
+        m_prev = m_cur
     return x

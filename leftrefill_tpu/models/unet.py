@@ -122,10 +122,10 @@ class QDense(nn.Module):
                 "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
             )
             if kernel.dtype == jnp.int8:
-                from leftrefill_tpu.ops.quant import dense_int8, quantize_activation
+                from leftrefill_tpu.ops.quant import dense_int8, quantize_activation_rowwise
 
                 if xq is None:
-                    xq, x_scale = quantize_activation(x)
+                    xq, x_scale = quantize_activation_rowwise(x)
                 return dense_int8(xq, x_scale, kernel, scale, bias, out_dtype=self.dtype)
         y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         if bias is not None:
@@ -317,11 +317,12 @@ class CrossAttention(nn.Module):
         xq = sx = cq = cs = None
         if self.quant:
             # quantize each distinct activation once; q/k/v share it when
-            # self-attending (3 projections, 1 quantization pass)
-            from leftrefill_tpu.ops.quant import quantize_activation
+            # self-attending (3 projections, 1 quantization pass).  Per-row
+            # scales: a hot token no longer collapses every row's resolution
+            from leftrefill_tpu.ops.quant import quantize_activation_rowwise
 
-            xq, sx = quantize_activation(x)
-            cq, cs = (xq, sx) if context is None else quantize_activation(ctx)
+            xq, sx = quantize_activation_rowwise(x)
+            cq, cs = (xq, sx) if context is None else quantize_activation_rowwise(ctx)
         q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q", quant=self.quant)(x, xq, sx)
         k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k", quant=self.quant)(ctx, cq, cs)
         v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v", quant=self.quant)(ctx, cq, cs)

@@ -12,6 +12,7 @@ All spatial tensors are NHWC (TPU-native); the reference is NCHW.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -20,6 +21,10 @@ import numpy as np
 from flax import linen as nn
 
 Dtype = Any
+
+# A/B knob for the GroupNorm32 fast_affine default (scripts/tpu_r3_int8_quality.py
+# characterizes the bf16-affine deviation vs the reference's full-fp32 island)
+_FAST_AFFINE_DEFAULT = os.environ.get("LEFTREFILL_GN_FAST_AFFINE", "1") == "1"
 
 
 def timestep_embedding(
@@ -69,8 +74,11 @@ class GroupNorm32(nn.Module):
     param_dtype: Dtype = jnp.float32
     # fp32 statistics always; when fast_affine the normalize+affine runs as a
     # single fused multiply-add in the input dtype (one bf16 rounding step vs
-    # the reference's full-fp32 GN — the output is bf16 either way)
-    fast_affine: bool = True
+    # the reference's full-fp32 GN — the output is bf16 either way).
+    # None -> the LEFTREFILL_GN_FAST_AFFINE env default (read at trace time,
+    # so scripts can flip the module global for A/B runs).  Characterized on
+    # the full 865M UNet: see PARITY.md round-3 / scripts/tpu_r3_int8_quality.py.
+    fast_affine: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -99,7 +107,8 @@ class GroupNorm32(nn.Module):
         one_spatial = (1,) * len(spatial)
         a = (rstd * gamma).reshape(b, *one_spatial, c)
         bb = (beta - mean * rstd * gamma).reshape(b, *one_spatial, c)
-        if self.fast_affine and orig_dtype != jnp.float32:
+        fast = self.fast_affine if self.fast_affine is not None else _FAST_AFFINE_DEFAULT
+        if fast and orig_dtype != jnp.float32:
             y = x * a.astype(orig_dtype) + bb.astype(orig_dtype)
         else:
             y = (x.astype(jnp.float32) * a + bb).astype(orig_dtype)

@@ -68,6 +68,19 @@ def quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return xq, scale
 
 
+def quantize_activation_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row (per-token) symmetric int8: abs-max over the contraction dim
+    only, scale [..., 1] f32.  The standard W8A8 accuracy fix for activation
+    outliers (a hot token no longer collapses the resolution of every other
+    row) at the cost of one extra [rows] vector in HBM — used for the dense
+    sites; convs keep the per-tensor scale (their K dim is channels, where
+    per-row would be per-pixel: same outlier exposure, more overhead)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
 def dense_int8(
     xq: jax.Array,
     x_scale: jax.Array,
@@ -77,8 +90,9 @@ def dense_int8(
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """int8 GEMM + fp32 dequant epilogue.  xq [..., K] int8, wq [K, N] int8,
-    w_scale [N].  XLA's int8 dot already reaches the int8 MXU rate, so no
-    Pallas needed here."""
+    w_scale [N]; x_scale is a scalar (per-tensor) or [..., 1] (per-row) —
+    both broadcast in the epilogue.  XLA's int8 dot already reaches the int8
+    MXU rate, so no Pallas needed here."""
     acc = jax.lax.dot_general(
         xq, wq, dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -166,6 +166,70 @@ class RefInpaintTask:
             self._jit_cache[sig] = jax.jit(fn)
         return self._jit_cache[sig]
 
+    def _diag_fn(self, ddim_steps: int, eta: float, guidance_scale: float, which: tuple):
+        """Diagnostic rows (LatentDiffusion.log_images, ddpm.py:1163-1291):
+        diffusion_row (input latent q_sampled over the schedule, :1201-1214),
+        denoise_row (pred_x0 intermediates of the DDIM loop, :1221-1224),
+        progressive_row (x0 partials of the full DDPM loop, :1065-1104 via
+        progressive_denoising).  Each returned as [n_steps, B, H, W, 3]."""
+        sig = ("diag", ddim_steps, eta, guidance_scale, which)
+        if sig not in self._jit_cache:
+            log_every_t = 200
+            n_keep = 8
+
+            def decode_stack(params, zs):
+                m = self.model
+                k, b = zs.shape[0], zs.shape[1]
+                flat = zs.reshape(k * b, *zs.shape[2:])
+                dec = m.decode_first_stage(params, flat)
+                return jnp.clip(dec, -1.0, 1.0).reshape(k, b, *dec.shape[1:])
+
+            def fn(params, image, mask, masked_image, tokens, uncond_tok, key):
+                m = self.model
+                cond = m.build_inpaint_cond(params, tokens, mask, masked_image)
+                b, h, w, _ = cond.c_concat.shape
+                shape = (b, h, w, m.unet.out_channels)
+                tables = m.schedule.ddim_tables(ddim_steps, eta=eta)
+                apply_fn = lambda x, t, c: m.apply_model(params, x, t, c)
+                uc = Conditioning(
+                    c_concat=cond.c_concat,
+                    c_crossattn=m.get_learned_conditioning(params, uncond_tok),
+                ) if guidance_scale > 1.0 else None
+                out = {}
+                if "diffusion" in which:
+                    z = m.encode_first_stage(params, image)
+                    n_t = m.schedule.num_timesteps
+                    ts = list(range(0, n_t, log_every_t)) + [n_t - 1]
+                    zs = []
+                    for i, t_ in enumerate(ts):
+                        tt = jnp.full((b,), t_, jnp.int32)
+                        noise = jax.random.normal(
+                            jax.random.fold_in(key, 1000 + i), z.shape, z.dtype
+                        )
+                        zs.append(m.q_sample(z, tt, noise))
+                    out["diffusion_row"] = decode_stack(params, jnp.stack(zs))
+                if "denoise" in which:
+                    _, inter = ddim_sample(
+                        m, apply_fn, tables, cond, key, shape,
+                        uncond=uc, guidance_scale=guidance_scale,
+                        return_intermediates=True,
+                    )
+                    idx = np.linspace(0, ddim_steps - 1, min(n_keep, ddim_steps)).astype(int)
+                    out["denoise_row"] = decode_stack(params, inter["pred_x0"][idx])
+                if "progressive" in which:
+                    from leftrefill_tpu.diffusion.samplers_extra import ddpm_sample
+
+                    _, x0s = ddpm_sample(
+                        m, apply_fn, cond, key, shape,
+                        uncond=uc, guidance_scale=guidance_scale,
+                        return_x0_every=max(m.schedule.num_timesteps // 5, 1),
+                    )
+                    out["progressive_row"] = decode_stack(params, x0s)
+                return out
+
+            self._jit_cache[sig] = jax.jit(fn)
+        return self._jit_cache[sig]
+
     def log_images(
         self,
         params: Params,
@@ -175,9 +239,14 @@ class RefInpaintTask:
         ddim_eta: float = 0.0,
         unconditional_guidance_scale: float = 9.0,
         key: Optional[jax.Array] = None,
+        plot_diffusion_rows: bool = False,
+        plot_denoise_rows: bool = False,
+        plot_progressive_rows: bool = False,
     ) -> dict:
         """log_images (ref_inpainting_ldm.py:38-72): returns pred /
-        origin_image / masked_image, NHWC [-1,1]."""
+        origin_image / masked_image, NHWC [-1,1].  The plot_* flags add the
+        base-class diagnostic rows (ddpm.py:1163-1291) as
+        diffusion_row / denoise_row / progressive_row [S, B, H, W, 3]."""
         n = N or batch["image"].shape[0]
         image = jnp.asarray(batch["image"][:n])
         mask = jnp.asarray(batch["mask"][:n])
@@ -185,8 +254,22 @@ class RefInpaintTask:
         tokens = jnp.asarray(batch["tokens"][:n])
         key = key if key is not None else jax.random.PRNGKey(42)
         fn = self._log_fn(ddim_steps, ddim_eta, unconditional_guidance_scale)
-        pred = fn(params, image, mask, masked, tokens, jnp.asarray(self.uncond_tokens(n)), key)
-        return {"pred": pred, "origin_image": image, "masked_image": masked, "mask": mask}
+        uncond_tok = jnp.asarray(self.uncond_tokens(n))
+        pred = fn(params, image, mask, masked, tokens, uncond_tok, key)
+        out = {"pred": pred, "origin_image": image, "masked_image": masked, "mask": mask}
+        which = tuple(
+            name
+            for name, on in (
+                ("diffusion", plot_diffusion_rows),
+                ("denoise", plot_denoise_rows),
+                ("progressive", plot_progressive_rows),
+            )
+            if on
+        )
+        if which:
+            diag = self._diag_fn(ddim_steps, ddim_eta, unconditional_guidance_scale, which)
+            out.update(diag(params, image, mask, masked, tokens, uncond_tok, key))
+        return out
 
     # ------------------------------------------------------------------
     # validation (ref_inpainting_ldm.py:119-146)

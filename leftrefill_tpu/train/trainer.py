@@ -87,6 +87,39 @@ def make_optimizer(config: OptimizerConfig, mask) -> optax.GradientTransformatio
     return tx
 
 
+def current_lr(config: OptimizerConfig, step: int) -> float:
+    """The lr actually applied at trainer step ``step`` (the reference logs
+    it via LearningRateMonitor, train_inpainting.py:107 — r2 logged the
+    constant config lr even under the cosine schedule).  With gradient
+    accumulation the schedule advances once per optimizer update, not per
+    micro-batch."""
+    if not config.use_cosine:
+        return config.lr
+    eff = step // max(config.accumulate_grad_batches, 1)
+    return float(
+        optax.cosine_decay_schedule(
+            init_value=config.lr,
+            decay_steps=config.cosine_decay_steps,
+            alpha=config.cosine_alpha,
+        )(eff)
+    )
+
+
+def reduce_metrics_across_hosts(metrics: dict) -> dict:
+    """Mean of scalar metrics over all hosts (the reference's
+    ``sync_dist=True``, ref_inpainting_ldm.py:142-144) so multi-host
+    checkpoint selection isn't rank-0-biased.  No-op on a single host."""
+    if jax.process_count() == 1 or not metrics:
+        return metrics
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    arr = np.asarray([float(metrics[k]) for k in keys], np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(arr))
+    return {k: float(gathered[:, i].mean()) for i, k in enumerate(keys)}
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Params

@@ -86,6 +86,31 @@ def test_int8_conv_accuracy_vs_fp():
     assert rel < 0.03, rel
 
 
+def test_dense_int8_rowwise_beats_per_tensor_on_outliers():
+    """Per-row activation scales (round-3): with one hot row, the per-tensor
+    scale collapses every other row's resolution; per-row must be strictly
+    more accurate and broadcast correctly through dense_int8."""
+    from leftrefill_tpu.ops.quant import quantize_activation_rowwise
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    x = jax.random.normal(ks[0], (64, 96), jnp.float32)
+    x = x.at[3].mul(200.0)  # outlier token
+    w = jax.random.normal(ks[1], (96, 48), jnp.float32) * 0.1
+    wq, ws = quantize_weight(w)
+    fp = np.asarray(x @ w)
+
+    xq_t, s_t = quantize_activation(x)
+    err_t = np.abs(np.asarray(dense_int8(xq_t, s_t, wq, ws, out_dtype=jnp.float32)) - fp)
+    xq_r, s_r = quantize_activation_rowwise(x)
+    assert s_r.shape == (64, 1)
+    err_r = np.abs(np.asarray(dense_int8(xq_r, s_r, wq, ws, out_dtype=jnp.float32)) - fp)
+    # non-outlier rows: rowwise error should be far smaller
+    norm = np.abs(fp).max()
+    rows = [i for i in range(64) if i != 3]
+    assert err_r[rows].max() < err_t[rows].max() / 5
+    assert err_r.max() / norm < 0.05
+
+
 def test_dense_int8_accuracy():
     ks = jax.random.split(jax.random.PRNGKey(2), 2)
     x = jax.random.normal(ks[0], (64, 96), jnp.float32)

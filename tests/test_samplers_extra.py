@@ -67,8 +67,10 @@ def test_plms_equals_ddim_for_constant_eps(sched):
 
 
 def test_dpmpp_first_order_exactness(sched):
-    """With eps == 0 the trajectory is x proportional to alpha_t; DPM-Solver++
-    (exact for constant x0 predictions) must telescope like DDIM eta=0."""
+    """With eps == 0 the trajectory is x proportional to alpha_t, so the
+    solver telescopes exactly: x_end = (alpha(t_0)/alpha(T)) x_T.  On the
+    reference-exact continuous grid (round-3 rewrite) alpha(T=1) =
+    sqrt(abar[-1]) and alpha(t_0=1/N) = sqrt(abar[0])."""
     model = FakeModel(sched)
     tables = sched.ddim_tables(10, eta=0.0)
     shape = (1, 4, 4, 2)
@@ -79,8 +81,8 @@ def test_dpmpp_first_order_exactness(sched):
             model, apply_fn, tables, Conditioning(), jax.random.PRNGKey(0), shape, x_T=xT
         )
     )(x_T)
-    # final abar is alphas_cumprod[0] appended as alphas_prev[0]
-    expected = np.sqrt(tables.alphas_prev[0] / tables.alphas[-1])
+    ac = np.asarray(sched.alphas_cumprod, np.float64)
+    expected = np.sqrt(ac[0] / ac[-1])
     assert np.allclose(np.asarray(out), expected, rtol=1e-3)
 
 

@@ -120,6 +120,32 @@ def test_log_images_and_validation(task):
     assert np.isfinite(np.asarray(log0["pred"])).all()
 
 
+def test_log_images_diagnostic_rows(task):
+    """Round-3 (VERDICT item 8): the base-class diagnostic surface —
+    diffusion_row (ddpm.py:1201-1214), denoise_row (:1221-1224) and
+    progressive_row (:1065-1104) — behind opt-in flags."""
+    t, params = task
+    batch = _batch(t)
+    log = t.log_images(
+        params, batch, ddim_steps=4, unconditional_guidance_scale=2.5,
+        plot_diffusion_rows=True, plot_denoise_rows=True, plot_progressive_rows=True,
+    )
+    b, h, w = 2, 32, 64
+    # diffusion_row: t in {0, 200, ..., 800, 999} -> 6 stops
+    assert log["diffusion_row"].shape == (6, b, h, w, 3)
+    # denoise_row: min(8, ddim_steps)=4 pred_x0 stops
+    assert log["denoise_row"].shape == (4, b, h, w, 3)
+    # progressive_row: num_timesteps//(num_timesteps//5) = 5 chunks
+    assert log["progressive_row"].shape == (5, b, h, w, 3)
+    for k in ("diffusion_row", "denoise_row", "progressive_row"):
+        arr = np.asarray(log[k])
+        assert np.isfinite(arr).all()
+        assert arr.min() >= -1.0 and arr.max() <= 1.0
+    # heavily-noised diffusion stops differ from the clean decode
+    d = np.abs(np.asarray(log["diffusion_row"][0]) - np.asarray(log["diffusion_row"][-1]))
+    assert d.max() > 0.01
+
+
 def test_train_step_moves_only_prompt(task):
     from leftrefill_tpu.train.trainer import (
         OptimizerConfig,

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import yaml
 
 from leftrefill_tpu.config import build_model_from_config
@@ -61,3 +62,42 @@ def test_full_gradient_path_descends():
         - np.asarray(params["cond"]["special_embeddings"])
     ).max()
     assert d > 0
+
+
+def test_current_lr_follows_cosine_schedule():
+    """r2 logged the constant config lr even under the cosine schedule; the
+    helper must report the actually-applied value (incl. grad accumulation)."""
+    from leftrefill_tpu.train.trainer import OptimizerConfig, current_lr
+
+    const = OptimizerConfig(lr=3e-5)
+    assert current_lr(const, 0) == current_lr(const, 5000) == 3e-5
+
+    cos = OptimizerConfig(lr=3e-5, use_cosine=True, cosine_decay_steps=1000)
+    assert current_lr(cos, 0) == pytest.approx(3e-5)
+    assert current_lr(cos, 500) < 3e-5 * 0.6
+    assert current_lr(cos, 1000) == pytest.approx(0.0, abs=1e-12)
+
+    accum = OptimizerConfig(
+        lr=3e-5, use_cosine=True, cosine_decay_steps=1000, accumulate_grad_batches=2
+    )
+    # schedule advances once per optimizer update: 2 micro-steps per update
+    assert current_lr(accum, 1000) == pytest.approx(current_lr(cos, 500))
+
+
+def test_reduce_metrics_across_hosts_single_host_identity():
+    from leftrefill_tpu.train.trainer import reduce_metrics_across_hosts
+
+    m = {"val/psnr": 21.5, "val/lpips": 0.31}
+    assert reduce_metrics_across_hosts(m) == m
+    assert reduce_metrics_across_hosts({}) == {}
+
+
+def test_create_train_state_rejects_int8_params():
+    """Advisor r2: a quantized (inference-only) tree must not reach the
+    optimizer — round/int8 leaves silently produce zero gradients."""
+    from leftrefill_tpu.train.trainer import OptimizerConfig, create_train_state
+
+    params = {"unet": {"conv": {"kernel": jnp.zeros((3, 3, 8, 8), jnp.int8),
+                                "kernel_scale": jnp.ones((8,), jnp.float32)}}}
+    with pytest.raises(ValueError, match="int8"):
+        create_train_state(params, OptimizerConfig())
