@@ -100,6 +100,15 @@ def load_lpips_weights(weights_path: str, alexnet_path: str | None = None) -> di
     from leftrefill_tpu.convert.torch_to_flax import load_torch_state_dict
 
     params: dict = {"net": {}}
+    if alexnet_path is None:
+        # no backbone weights: fall back to seeded random conv features so the
+        # module still applies (smoke/dry-run mode — NOT a calibrated metric)
+        import jax
+
+        init = AlexFeatures().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )["params"]
+        params["net"] = dict(init)
     lin_sd = load_torch_state_dict(weights_path)
     for i in range(5):
         key = f"lin{i}.model.1.weight"
