@@ -130,6 +130,7 @@ def main(argv=None) -> int:
             ddim_eta=args.eta, unconditional_guidance_scale=args.cfg,
             key=jax.random.PRNGKey(args.seed + bi),
         )
+        reference_views = log.pop("reference", None)
         pred = np.asarray(log["pred"], np.float32)
         pred = pred.reshape(-1, *pred.shape[-3:])
         origin = np.asarray(log["origin_image"], np.float32).reshape(pred.shape)
@@ -173,6 +174,15 @@ def main(argv=None) -> int:
             Image.fromarray(np.concatenate(rows, axis=1)).save(
                 os.path.join(out_dir, f"{bi:06}.png")
             )
+            if reference_views is not None:
+                # per-view reference strips (test_multiview_inpainting.py:189-197:
+                # make_grid(ref, nrow=1) per source view)
+                ref = np.asarray(reference_views, np.float32)
+                for idx in range(ref.shape[1]):
+                    strip = np.concatenate([to_uint8(r) for r in ref[:, idx]], axis=0)
+                    Image.fromarray(strip).save(
+                        os.path.join(out_dir, f"{bi:06}_ref{idx}.png")
+                    )
         if args.limit and bi + 1 >= args.limit:
             break
 

@@ -278,7 +278,9 @@ def main(argv=None) -> int:
                         ddim_steps=config.get("log_ddim_steps", 50),
                         unconditional_guidance_scale=cfg_scale,
                     )
-                    ilog.log(step, epoch, {k: np.asarray(v).reshape(-1, *np.asarray(v).shape[-3:]) for k, v in log.items()})
+                    # 'reference' ([B, V-1, ...]) has a different row count
+                    # than the per-view keys; the test CLI saves it as strips
+                    ilog.log(step, epoch, {k: np.asarray(v).reshape(-1, *np.asarray(v).shape[-3:]) for k, v in log.items() if k != "reference"})
                 step += 1
                 if step >= max_steps:
                     break

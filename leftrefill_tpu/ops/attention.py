@@ -54,6 +54,10 @@ def _flash_qualifies(q: jax.Array, k: jax.Array) -> bool:
         on_tpu = False
     d = q.shape[-1]
     nq, nk = q.shape[-2], k.shape[-2]
+    # fp32 long-sequence K/V residents exceed scoped vmem (measured: 16.05M
+    # at nk=8192 even with 16-row q blocks) — fp32 fidelity runs take XLA
+    if q.dtype == jnp.float32 and nk >= 4096:
+        return False
     return (
         on_tpu
         and d in (64, 128)

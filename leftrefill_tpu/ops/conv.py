@@ -331,6 +331,10 @@ def conv3x3_apply(
     use = impl or _DEFAULT_IMPL
     b, h, wd, ci = x.shape
     co = w.shape[-1]
+    # the kernel and its VMEM plan are bf16-sized; fp32 models (fidelity
+    # reference runs) take the XLA conv — an f32 plan would blow scoped vmem
+    if x.dtype != jnp.bfloat16:
+        use = "xla"
     if use in ("auto", "pallas") and conv3x3_qualifies(h, wd, ci, co):
         # "pallas" also only *prefers* the kernel: shapes with no aligned
         # block plan (e.g. the 9-channel stem) always take the XLA conv

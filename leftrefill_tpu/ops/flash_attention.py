@@ -61,15 +61,18 @@ def set_safe_softmax(on: bool) -> None:
     _SAFE_SOFTMAX = bool(on)
 
 
-def _pick_block(n_other: int, n_blocked: int) -> int:
+def _pick_block(n_other: int, n_blocked: int, dtype=jnp.bfloat16) -> int:
     """Forward block size: ONE fp32 score tile (blk x n_other) + its exp
-    dominate VMEM."""
+    dominate VMEM.  fp32 inputs (fidelity reference runs) double the resident
+    K/V so the q block shrinks."""
     if n_other <= 8192:
         blk = DEFAULT_BLOCK_Q
     elif n_other <= 16384:
         blk = DEFAULT_BLOCK_Q // 2
     else:
         blk = DEFAULT_BLOCK_Q // 4
+    if dtype == jnp.float32 and n_other >= 4096:
+        blk = max(blk // 8, 16)
     return min(blk, n_blocked)
 
 
@@ -143,7 +146,7 @@ def _flash_forward(
     divide (8,128) or equal the array dims, which (blk_q, 1) satisfies."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    blk_q = _pick_block(nk, nq)
+    blk_q = _pick_block(nk, nq, q.dtype)
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)

@@ -342,6 +342,12 @@ class MultiViewRefInpaintTask(RefInpaintTask):
         for k, val in log.items():
             arr = np.asarray(val)
             out[k] = arr.reshape(arr.shape[0] // v, v, *arr.shape[1:])
+        # the reference log also emits the source views as 'reference'
+        # ([B, V-1, H, W, C]; view 0 is the masked target) — the multiview
+        # test CLI saves these as per-view strips
+        # (test_multiview_inpainting.py:189-197)
+        if not self.bundle.concat_target and out["origin_image"].shape[1] > 1:
+            out["reference"] = out["origin_image"][:, 1:]
         return out
 
     def multi_cond_sample(

@@ -30,10 +30,27 @@ x = jax.random.normal(jax.random.PRNGKey(0), (B, 64, 128, 9), jnp.float32)
 ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 77, 1024), jnp.float32) * 0.5
 
 m32 = UNetModel(dtype=jnp.float32)
-params = jax.jit(m32.init)(
-    jax.random.PRNGKey(2), x, jnp.zeros((B,), jnp.int32), ctx
+# build realistically-scaled params host-side from the shape tree (jitting the
+# full fp32 init on the chip compiles pathologically slowly through the relay)
+shapes = jax.eval_shape(
+    m32.init, jax.random.PRNGKey(2), x, jnp.zeros((B,), jnp.int32), ctx
 )["params"]
-params = unzero_kernels(params)
+rng = np.random.RandomState(0)
+
+
+def mk(path, s):
+    name = getattr(path[-1], "key", str(path[-1]))
+    if len(s.shape) >= 2:
+        fan_in = int(np.prod(s.shape[:-1]))
+        arr = rng.randn(*s.shape).astype(np.float32) / np.sqrt(max(fan_in, 1))
+        return jnp.asarray(arr, s.dtype)
+    # 1-D: norm scales must be ~1, biases small noise (not all-zero)
+    if name == "scale":
+        return jnp.ones(s.shape, s.dtype)
+    return jnp.asarray(rng.randn(*s.shape).astype(np.float32) * 0.02, s.dtype)
+
+
+params = jax.tree_util.tree_map_with_path(mk, shapes)
 print("params ready", flush=True)
 
 q_model = UNetModel(dtype=jnp.bfloat16, quant=True)

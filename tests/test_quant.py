@@ -169,3 +169,71 @@ def test_quantized_unet_close_to_fp():
     rel = np.abs(q_out - fp_out).max() / max(denom, 1e-6)
     assert np.isfinite(q_out).all()
     assert rel < 0.15, rel  # W8A8 noise accumulates over the whole net
+
+
+def test_geglu_fused_matches_reference():
+    """Fused GEGLU kernel (ops/mlp.py) == the XLA oracle (value*gelu_erf(gate)
+    then dot), bf16-weights path, in interpret mode."""
+    from leftrefill_tpu.ops.mlp import _plan, geglu_fused, geglu_reference
+
+    r, din, mult = 256, 128, 4
+    inner, dout = din * mult, din
+    assert _plan(r, din, inner, dout, x_elt=2, w_elt=2) is not None
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    x = jax.random.normal(ks[0], (r, din), jnp.float32)
+    w1 = jax.random.normal(ks[1], (din, 2 * inner), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, dout), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (dout,), jnp.float32) * 0.1
+    ref = np.asarray(geglu_reference(x, w1, b1, w2, b2))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(geglu_fused(x, w1, b1, w2, b2))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel  # bf16 matmuls vs fp32 oracle
+
+    # the training path must differentiate through the fused op (custom VJP)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda w: jnp.sum(geglu_fused(x, w, b1, w2, b2) ** 2))(w1)
+    g_ref = jax.grad(lambda w: jnp.sum(geglu_reference(x, w, b1, w2, b2) ** 2))(w1)
+    rel_g = np.abs(np.asarray(g) - np.asarray(g_ref)).max() / max(
+        np.abs(np.asarray(g_ref)).max(), 1e-6
+    )
+    assert rel_g < 0.05, rel_g
+
+
+def test_geglu_fused_int8_matches_reference():
+    from leftrefill_tpu.ops.mlp import _plan, geglu_fused_int8, geglu_reference
+
+    r, din, mult = 256, 128, 4
+    inner, dout = din * mult, din
+    assert _plan(r, din, inner, dout, x_elt=1, w_elt=1) is not None
+    ks = jax.random.split(jax.random.PRNGKey(12), 5)
+    x = jax.random.normal(ks[0], (r, din), jnp.float32)
+    w1 = jax.random.normal(ks[1], (din, 2 * inner), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, dout), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (dout,), jnp.float32) * 0.1
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    ref = np.asarray(geglu_reference(x, w1, b1, w2, b2))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            geglu_fused_int8(x, w1q, s1, b1, w2q, s2, b2, out_dtype=jnp.float32)
+        )
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel  # two W8A8 stages
+
+
+def test_geglu_module_param_tree_unchanged():
+    """The fused-kernel rewrite must keep the exact net_0_proj/net_2 tree the
+    torch converter targets (kernel/bias [+kernel_scale])."""
+    from leftrefill_tpu.models.unet import GEGLUFeedForward
+
+    for quant in (False, True):
+        m = GEGLUFeedForward(dim=32, dtype=jnp.float32, quant=quant)
+        p = jax.eval_shape(m.init, jax.random.PRNGKey(0), jnp.zeros((2, 8, 32)))["params"]
+        expected = {"kernel", "bias"} | ({"kernel_scale"} if quant else set())
+        assert set(p) == {"net_0_proj", "net_2"}
+        assert set(p["net_0_proj"]) == expected
+        assert p["net_0_proj"]["kernel"].shape == (32, 256)
+        assert p["net_2"]["kernel"].shape == (128, 32)
