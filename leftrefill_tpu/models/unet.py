@@ -20,6 +20,7 @@ Design notes (TPU-first, not a translation):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -56,33 +57,39 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from leftrefill_tpu.ops.conv import conv3x3_apply
-
-        ci = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
-            (3, 3, ci, self.features),
+            (3, 3, x.shape[-1], self.features),
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if self.quant:
-            scale = self.param(
-                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
-            )
-            if kernel.dtype == jnp.int8:
-                from leftrefill_tpu.ops.quant import conv3x3_int8, conv3x3_int8_qualifies
+        scale = (
+            self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+            if self.quant
+            else None
+        )
+        return conv3x3_forward(x, kernel, bias, scale, self.dtype, self.quant)
 
-                b, h, w, _ = x.shape
-                if conv3x3_int8_qualifies(h, w, ci, self.features):
-                    return conv3x3_int8(
-                        x.astype(self.dtype), kernel, scale,
-                        bias.astype(self.dtype), out_dtype=self.dtype,
-                    )
-                # dequantize: exact inverse of the per-channel quantization
-                kernel = kernel.astype(jnp.float32) * scale[None, None, None, :]
-        x = x.astype(self.dtype)
-        return conv3x3_apply(x, kernel.astype(self.dtype), bias.astype(self.dtype))
+
+def conv3x3_forward(x, kernel, bias, scale, dtype, quant) -> jax.Array:
+    """Conv3x3's dispatch as a function (shared with the fused ResBlock)."""
+    from leftrefill_tpu.ops.conv import conv3x3_apply
+
+    ci = x.shape[-1]
+    features = kernel.shape[-1]
+    if quant and kernel.dtype == jnp.int8:
+        from leftrefill_tpu.ops.quant import conv3x3_int8, conv3x3_int8_qualifies
+
+        b, h, w, _ = x.shape
+        if conv3x3_int8_qualifies(h, w, ci, features):
+            return conv3x3_int8(
+                x.astype(dtype), kernel, scale, bias.astype(dtype), out_dtype=dtype
+            )
+        # dequantize: exact inverse of the per-channel quantization
+        kernel = kernel.astype(jnp.float32) * scale[None, None, None, :]
+    x = x.astype(dtype)
+    return conv3x3_apply(x, kernel.astype(dtype), bias.astype(dtype))
 
 
 class QDense(nn.Module):
@@ -224,8 +231,50 @@ class Downsample(nn.Module):
         return avg_pool_2x(x)
 
 
+class _GNParams(nn.Module):
+    """GroupNorm32's param tree (scale/bias) without applying it — lets the
+    ResBlock fuse norm+SiLU+quantize+conv into one Pallas chain."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return scale, bias
+
+
+class _Conv3x3Params(nn.Module):
+    """Conv3x3's param tree (kernel/bias[/kernel_scale]) without applying."""
+
+    features: int
+    in_features: int
+    zero: bool = False
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        scale = (
+            self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+            if self.quant
+            else None
+        )
+        return kernel, bias, scale
+
+
 class ResBlock(nn.Module):
-    """Timestep-conditioned residual block (openaimodel.py:162-274)."""
+    """Timestep-conditioned residual block (openaimodel.py:162-274).
+
+    int8 path (quant + int8 kernels + plain stride): each GN+SiLU+conv stack
+    runs as a fused prologue kernel + int8 conv (ops/quant.gn_silu_conv3x3_int8)
+    — the emb-add / scale-shift fold into the GN affine algebraically, so XLA
+    schedules only tiny reductions between Pallas calls (the r3 HLO inspection
+    showed full-tensor layout copies around every XLA GN fusion otherwise)."""
 
     out_channels: int
     use_scale_shift_norm: bool = False
@@ -236,32 +285,85 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
-        h = GroupNorm32(32, eps=1e-5, name="in_layers_0")(x)
-        h = nn.silu(h)
-        if self.up:
-            h = nearest_upsample_2x(h)
-            x = nearest_upsample_2x(x)
-        elif self.down:
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = conv3x3(self.out_channels, dtype=self.dtype, name="in_layers_2", quant=self.quant)(h)
+        from leftrefill_tpu.ops.layers import adjust_groups, group_norm32
 
+        in_ch = x.shape[-1]
+        g1s, g1b = _GNParams(name="in_layers_0")(in_ch)
+        k1, c1b, s1 = _Conv3x3Params(
+            features=self.out_channels, in_features=in_ch, quant=self.quant,
+            name="in_layers_2",
+        )()
+        g2s, g2b = _GNParams(name="out_layers_0")(self.out_channels)
+        k2, c2b, s2 = _Conv3x3Params(
+            features=self.out_channels, in_features=self.out_channels,
+            zero=True, quant=self.quant, name="out_layers_3",
+        )()
         emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             dtype=self.dtype,
             name="emb_layers_1",
-        )(nn.silu(emb)).astype(h.dtype)
+        )(nn.silu(emb))
 
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(32, eps=1e-5, name="out_layers_0")(h)
-            h = h * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
-        else:
-            h = h + emb_out[:, None, None, :]
-            h = GroupNorm32(32, eps=1e-5, name="out_layers_0")(h)
-        h = nn.silu(h)
-        h = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_layers_3", quant=self.quant)(h)
+        fused = False
+        if (
+            os.environ.get("LEFTREFILL_FUSED_RES", "1") != "0"
+            and self.quant
+            and k1.dtype == jnp.int8
+            and not self.up
+            and not self.down
+            and self.dtype == jnp.bfloat16
+            and x.ndim == 4
+        ):
+            from leftrefill_tpu.ops.quant import (
+                gn_silu_conv3x3_int8,
+                gn_silu_conv3x3_int8_qualifies,
+            )
+
+            b, hh, ww, _ = x.shape
+            g1 = adjust_groups(32, in_ch)
+            g2 = adjust_groups(32, self.out_channels)
+            if gn_silu_conv3x3_int8_qualifies(
+                hh, ww, in_ch, self.out_channels, g1
+            ) and gn_silu_conv3x3_int8_qualifies(
+                hh, ww, self.out_channels, self.out_channels, g2
+            ):
+                fused = True
+                h = gn_silu_conv3x3_int8(
+                    x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
+                    num_groups=g1, out_dtype=self.dtype,
+                )
+                if self.use_scale_shift_norm:
+                    scale, shift = jnp.split(emb_out, 2, axis=-1)
+                    h = gn_silu_conv3x3_int8(
+                        h, g2s, g2b, k2, s2, c2b, num_groups=g2,
+                        scale_shift=(scale, shift), out_dtype=self.dtype,
+                    )
+                else:
+                    h = gn_silu_conv3x3_int8(
+                        h, g2s, g2b, k2, s2, c2b, num_groups=g2,
+                        emb=emb_out, out_dtype=self.dtype,
+                    )
+
+        if not fused:
+            h = group_norm32(x, g1s, g1b, num_groups=32, eps=1e-5)
+            h = nn.silu(h)
+            if self.up:
+                h = nearest_upsample_2x(h)
+                x = nearest_upsample_2x(x)
+            elif self.down:
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = conv3x3_forward(h, k1, c1b, s1, self.dtype, self.quant)
+            eo = emb_out.astype(h.dtype)
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(eo, 2, axis=-1)
+                h = group_norm32(h, g2s, g2b, num_groups=32, eps=1e-5)
+                h = h * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
+            else:
+                h = h + eo[:, None, None, :]
+                h = group_norm32(h, g2s, g2b, num_groups=32, eps=1e-5)
+            h = nn.silu(h)
+            h = conv3x3_forward(h, k2, c2b, s2, self.dtype, self.quant)
 
         if self.out_channels == in_ch:
             skip = x

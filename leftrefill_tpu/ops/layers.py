@@ -82,37 +82,59 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return group_norm32(
+            x, scale, bias,
+            num_groups=self.num_groups, eps=self.eps, fast_affine=self.fast_affine,
+        )
 
-        # real configs always have c % 32 == 0; clamp only for tiny test nets
-        g = min(self.num_groups, c)
-        while c % g:
-            g -= 1
-        b = x.shape[0]
-        spatial = x.shape[1:-1]
-        xg = x.reshape(b, *spatial, g, c // g)
-        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        # fp32 statistics (XLA fuses the upcast into the reduction)
-        mean = jnp.mean(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
-        var = jnp.var(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
-        rstd = jax.lax.rsqrt(var + self.eps)
 
-        # fold (mean, rstd, gamma, beta) into per-(batch, channel) A, B;
-        # broadcast over spatial happens lazily inside the fused madd
-        gamma = scale.astype(jnp.float32).reshape(g, c // g)
-        beta = bias.astype(jnp.float32).reshape(g, c // g)
-        one_spatial = (1,) * len(spatial)
-        a = (rstd * gamma).reshape(b, *one_spatial, c)
-        bb = (beta - mean * rstd * gamma).reshape(b, *one_spatial, c)
-        fast = self.fast_affine if self.fast_affine is not None else _FAST_AFFINE_DEFAULT
-        if fast and orig_dtype != jnp.float32:
-            y = x * a.astype(orig_dtype) + bb.astype(orig_dtype)
-        else:
-            y = (x.astype(jnp.float32) * a + bb).astype(orig_dtype)
-        return y
+def adjust_groups(num_groups: int, c: int) -> int:
+    """real configs always have c % 32 == 0; clamp only for tiny test nets."""
+    g = min(num_groups, c)
+    while c % g:
+        g -= 1
+    return g
+
+
+def group_norm32(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    fast_affine: bool | None = None,
+) -> jax.Array:
+    """Functional GroupNorm32 core (shared by the module and the fused
+    ResBlock paths)."""
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    g = adjust_groups(num_groups, c)
+    b = x.shape[0]
+    spatial = x.shape[1:-1]
+    xg = x.reshape(b, *spatial, g, c // g)
+    red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    # fp32 statistics (XLA fuses the upcast into the reduction)
+    mean = jnp.mean(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
+    var = jnp.var(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+
+    # fold (mean, rstd, gamma, beta) into per-(batch, channel) A, B;
+    # broadcast over spatial happens lazily inside the fused madd
+    gamma = scale.astype(jnp.float32).reshape(g, c // g)
+    beta = bias.astype(jnp.float32).reshape(g, c // g)
+    one_spatial = (1,) * len(spatial)
+    a = (rstd * gamma).reshape(b, *one_spatial, c)
+    bb = (beta - mean * rstd * gamma).reshape(b, *one_spatial, c)
+    fast = fast_affine if fast_affine is not None else _FAST_AFFINE_DEFAULT
+    if fast and orig_dtype != jnp.float32:
+        y = x * a.astype(orig_dtype) + bb.astype(orig_dtype)
+    else:
+        y = (x.astype(jnp.float32) * a + bb).astype(orig_dtype)
+    return y
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:

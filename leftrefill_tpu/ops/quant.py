@@ -196,13 +196,25 @@ def conv3x3_int8_single(
 ) -> jax.Array:
     """Single-input variant of conv3x3_int8 (see module comment).  Caller must
     check the plan exists."""
-    b, h, wd, ci = x.shape
+    xq, sx = quantize_activation(x)
+    return conv3x3_int8_single_pre(xq, sx, wq, w_scale, bias, out_dtype)
+
+
+def conv3x3_int8_single_pre(
+    xq: jax.Array,
+    sx: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """single-input kernel on a PRE-quantized activation."""
+    b, h, wd, ci = xq.shape
     co = wq.shape[-1]
     plan = _plan_int8_single(h, wd, ci, co)
     assert plan is not None, "caller must check _plan_int8_single"
     bci, bco, ci_eff, co_eff = plan
 
-    xq, sx = quantize_activation(x)
     xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, ci_eff - ci)))
     if (ci_eff, co_eff) != (ci, co):
         wq = jnp.pad(wq, ((0, 0), (0, 0), (0, ci_eff - ci), (0, co_eff - co)))
@@ -235,7 +247,7 @@ def conv3x3_int8_single(
         scratch_shapes=[pltpu.VMEM((h * wd, bco), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci_eff * co_eff,
-            bytes_accessed=x.size + wq.size + b * h * wd * co_eff * 2,
+            bytes_accessed=xq.size + wq.size + b * h * wd * co_eff * 2,
             transcendentals=0,
         ),
     )(xp, wq, scales, bias2)
@@ -308,13 +320,26 @@ def conv3x3_int8_copy3(
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """3-copy int8 conv (r2 kernel): three column-shifted input copies."""
-    b, h, wd, ci = x.shape
+    xq, sx = quantize_activation(x)
+    return conv3x3_int8_copy3_pre(xq, sx, wq, w_scale, bias, out_dtype)
+
+
+def conv3x3_int8_copy3_pre(
+    xq: jax.Array,
+    sx: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """copy3 kernel on a PRE-quantized activation (xq int8, sx scalar f32) —
+    lets the fused GN+SiLU+quantize prologue feed the conv directly."""
+    b, h, wd, ci = xq.shape
     co = wq.shape[-1]
     plan = _plan_int8(h, wd, ci, co)
     assert plan is not None, "caller must check conv3x3_int8_qualifies"
     (blk_w, blk_ci, blk_co), ci_eff = plan
 
-    xq, sx = quantize_activation(x)
     cpad = ci_eff - ci
     xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, cpad)))
     if cpad:
@@ -359,7 +384,7 @@ def conv3x3_int8_copy3(
         scratch_shapes=[pltpu.VMEM((h * blk_w, blk_co), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci * co,
-            bytes_accessed=3 * x.size + wq.size + b * h * wd * co * 2,
+            bytes_accessed=3 * xq.size + wq.size + b * h * wd * co * 2,
             transcendentals=0,
         ),
     )(x0, x1, x2, wq, scales, bias2)
@@ -393,6 +418,142 @@ def conv3x3_int8_reference(x, wq, w_scale, bias):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return out * (sx * w_scale.astype(jnp.float32)) + bias.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm+SiLU+quantize prologue (round-3)
+#
+# Why: the optimized HLO of an int8 ResBlock (scripts/tpu_r3_hlo_inspect.py)
+# showed XLA bouncing layouts between its GN/SiLU fusions (materialized fp32
+# tensors in {2,1,3,0}) and the Pallas convs' required {3,2,1,0} operands —
+# ~13 full-tensor copies per block, the bulk of the measured ~3.6ms of
+# "glue" around the conv kernels.  Moving the whole normalize+SiLU+quantize
+# chain into one layout-stable Pallas kernel leaves XLA only scalar/vector
+# reductions (GN statistics, the quantization amax), which materialize
+# nothing.  The emb-add and scale-shift of the ResBlock fold into the
+# per-(batch, channel) affine algebraically (see gn_silu_conv3x3_int8).
+
+
+def _affine_silu_quant_kernel(x_ref, a_ref, b_ref, s_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)  # [blk_h, blk_w, C]
+    a = a_ref[0, 0]  # [C] -> broadcast
+    bb = b_ref[0, 0]
+    y = x * a[None, None] + bb[None, None]
+    y = y * jax.nn.sigmoid(y)  # silu
+    q = jnp.clip(jnp.round(y * s_ref[0, 0]), -127, 127)
+    o_ref[0] = q.astype(jnp.int8)
+
+
+def _plan_affine_blocks(h: int, w: int, c: int, budget_elems: int = 192 * 1024):
+    """Largest (blk_h, blk_w) with blk_h*blk_w*c <= budget (one fp32 copy of
+    the block ~= budget*4 bytes; Mosaic holds ~3 live fp32 temps + the bf16 in
+    and int8 out, so 192K elems keeps the scoped stack well under the 16M
+    limit — the unplanned full-H block OOM'd at 20.9M on L0 shapes).
+    blk_w is the sublane dim: multiple of 8 or full; blk_h any divisor."""
+    limit = max(budget_elems // c, 1)
+    blk_w = w
+    while blk_w > limit and blk_w % 2 == 0 and (blk_w // 2) % 8 == 0:
+        blk_w //= 2
+    blk_h = 1
+    for cand in range(h, 0, -1):
+        if h % cand == 0 and cand * blk_w <= limit:
+            blk_h = cand
+            break
+    return blk_h, blk_w
+
+
+def affine_silu_quant(
+    x: jax.Array,  # [B, H, W, C] bf16/f32
+    a: jax.Array,  # [B, C] f32 (rstd * gamma, folded)
+    bb: jax.Array,  # [B, C] f32 (beta - mean*rstd*gamma, folded)
+    inv_scale: jax.Array,  # scalar f32 (127/amax)
+) -> jax.Array:
+    """int8( silu(x*a + bb) * inv_scale ), one layout-stable Pallas pass."""
+    b, h, w, c = x.shape
+    blk_h, blk_w = _plan_affine_blocks(h, w, c)
+    s2 = jnp.asarray(inv_scale, jnp.float32).reshape(1, 1)
+    # [B,1,C] carriers: a (1,C) block on a [B,C] array violates Mosaic's
+    # last-two-dims rule (sublane dim 1 != array dim 2)
+    a3 = a.reshape(b, 1, c)
+    bb3 = bb.reshape(b, 1, c)
+    return pl.pallas_call(
+        _affine_silu_quant_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.int8),
+        grid=(b, h // blk_h, w // blk_w),
+        in_specs=[
+            pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * x.size, bytes_accessed=x.size * x.dtype.itemsize + x.size,
+            transcendentals=x.size,
+        ),
+    )(x, a3, bb3, s2)
+
+
+def gn_silu_conv3x3_int8(
+    x: jax.Array,          # [B, H, W, C] bf16 (pre-GN activation)
+    gamma: jax.Array,      # [C] GroupNorm scale
+    beta: jax.Array,       # [C] GroupNorm bias
+    wq: jax.Array,         # [3,3,C,CO] int8
+    w_scale: jax.Array,    # [CO]
+    bias: jax.Array,       # [CO]
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    emb: Optional[jax.Array] = None,          # [B, C]: h+emb BEFORE the GN
+    scale_shift: Optional[tuple] = None,      # (s [B,C], t [B,C]): GN(h)*(1+s)+t
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Fused GroupNorm32 + (emb-add | scale-shift) + SiLU + int8-quantize +
+    3x3 int8 conv — the ResBlock conv stack (openaimodel.py:162-274) with the
+    fp32-statistics island intact.
+
+    The emb-add folds into the statistics without materializing h+emb:
+    with e per (b,c) constant over space, group mean' = mean_g(m_c + e_c) and
+    E[(h+e)^2] = q_c + 2 e_c m_c + e_c^2 from the per-channel spatial moments
+    (m_c, q_c) — two tiny [B,C] reductions of x are the only XLA work.
+    """
+    b, h, w, c = x.shape
+    g = num_groups
+    xf32 = x.astype(jnp.float32)
+    m_c = jnp.mean(xf32, axis=(1, 2))            # [B, C] spatial mean
+    q_c = jnp.mean(xf32 * xf32, axis=(1, 2))     # [B, C] spatial E[x^2]
+    e_c = emb.astype(jnp.float32) if emb is not None else jnp.zeros_like(m_c)
+    mg = jnp.mean((m_c + e_c).reshape(b, g, c // g), axis=-1)            # [B, g]
+    q2 = q_c + 2.0 * e_c * m_c + e_c * e_c
+    vg = jnp.mean(q2.reshape(b, g, c // g), axis=-1) - mg * mg           # [B, g]
+    rstd = jax.lax.rsqrt(vg + eps)                                       # [B, g]
+    rstd_c = jnp.repeat(rstd, c // g, axis=-1)                           # [B, C]
+    mg_c = jnp.repeat(mg, c // g, axis=-1)
+    gmm = gamma.astype(jnp.float32)[None]
+    a = rstd_c * gmm                                                     # [B, C]
+    bb = (e_c - mg_c) * a + beta.astype(jnp.float32)[None]
+    if scale_shift is not None:
+        s_, t_ = scale_shift
+        s_ = 1.0 + s_.astype(jnp.float32)
+        a = a * s_
+        bb = bb * s_ + t_.astype(jnp.float32)
+
+    # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce (no
+    # materialized tensor; silu is monotone-ish but not, so reduce the real
+    # value)
+    y = xf32 * a[:, None, None, :] + bb[:, None, None, :]
+    amax = jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+
+    xq = affine_silu_quant(x, a, bb, 1.0 / scale)
+    co = wq.shape[-1]
+    if _plan_int8(h, w, c, co) is not None:
+        return conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype)
+    return conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype)
+
+
+def gn_silu_conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int, num_groups: int = 32) -> bool:
+    return conv3x3_int8_qualifies(h, w, ci, co) and ci % num_groups == 0
 
 
 # ---------------------------------------------------------------------------

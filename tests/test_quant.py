@@ -237,3 +237,50 @@ def test_geglu_module_param_tree_unchanged():
         assert set(p["net_0_proj"]) == expected
         assert p["net_0_proj"]["kernel"].shape == (32, 256)
         assert p["net_2"]["kernel"].shape == (128, 32)
+
+
+@pytest.mark.parametrize("mode", ["plain", "emb", "scale_shift"])
+def test_gn_silu_conv_fused_matches_unfused(mode):
+    """Fused GN+SiLU+quantize+conv (round-3 prologue) == the unfused chain
+    (GroupNorm32 fp32 stats -> silu -> per-tensor int8 conv), incl. the
+    algebraic emb-add / scale-shift folds."""
+    from leftrefill_tpu.ops.layers import group_norm32
+    from leftrefill_tpu.ops.quant import (
+        conv3x3_int8_reference,
+        gn_silu_conv3x3_int8,
+    )
+
+    b, h, w, c, co = 2, 16, 32, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(20), 6)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[2], (c,), jnp.float32)
+    wt = jax.random.normal(ks[3], (3, 3, c, co), jnp.float32) * 0.05
+    bias = jax.random.normal(ks[4], (co,), jnp.float32) * 0.1
+    wq, ws = quantize_weight(wt)
+    emb = scale_shift = None
+    if mode == "emb":
+        emb = jax.random.normal(ks[5], (b, c), jnp.float32)
+    elif mode == "scale_shift":
+        s_, t_ = jnp.split(jax.random.normal(ks[5], (b, 2 * c), jnp.float32) * 0.3, 2, -1)
+        scale_shift = (s_, t_)
+
+    # unfused oracle
+    if mode == "emb":
+        y = group_norm32(x + emb[:, None, None, :], gamma, beta, num_groups=32)
+    else:
+        y = group_norm32(x, gamma, beta, num_groups=32)
+        if mode == "scale_shift":
+            y = y * (1 + scale_shift[0][:, None, None, :]) + scale_shift[1][:, None, None, :]
+    y = jax.nn.silu(y)
+    ref = np.asarray(conv3x3_int8_reference(y, wq, ws, bias))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            gn_silu_conv3x3_int8(
+                x, gamma, beta, wq, ws, bias, num_groups=32,
+                emb=emb, scale_shift=scale_shift, out_dtype=jnp.float32,
+            )
+        )
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.02, (mode, rel)
