@@ -66,14 +66,22 @@ def _pick_block(n_other: int, n_blocked: int, dtype=jnp.bfloat16) -> int:
     dominate VMEM.  fp32 inputs (fidelity reference runs) double the resident
     K/V so the q block shrinks."""
     if n_other <= 8192:
-        blk = DEFAULT_BLOCK_Q
+        # 256 measured +2 TF/s over 128 at the ds1 shape (N=8192, D=64):
+        # 78 -> 80 TF/s, same rel_err (scripts/tpu_r3_attnprobe2.py); the
+        # 8MB fp32 score tile still fits with the resident bf16 K/V.
+        blk = 2 * DEFAULT_BLOCK_Q
     elif n_other <= 16384:
         blk = DEFAULT_BLOCK_Q // 2
     else:
         blk = DEFAULT_BLOCK_Q // 4
     if dtype == jnp.float32 and n_other >= 4096:
-        blk = max(blk // 8, 16)
-    return min(blk, n_blocked)
+        # fp32 keeps the r2 sizing (an f32 plan at 2x blew scoped vmem)
+        blk = max(min(blk, DEFAULT_BLOCK_Q) // 8, 16)
+    blk = min(blk, n_blocked)
+    # the q grid needs blk | n_blocked (no masked tail blocks in the kernel)
+    while n_blocked % blk:
+        blk //= 2
+    return blk
 
 
 def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
