@@ -190,7 +190,7 @@ geglu_fused.defvjp(_geglu_fwd, _geglu_bwd)
 
 def _geglu_int8_kernel(x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
                        b1v_ref, b1g_ref, w2_ref, s2_ref, b2_ref,
-                       o_ref, acc_ref):
+                       o_ref, acc_ref, *, w2_bf16: bool):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -210,18 +210,33 @@ def _geglu_int8_kernel(x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
     v = v32.astype(jnp.float32) * (sx * s1v_ref[0]) + b1v_ref[0]
     g = g32.astype(jnp.float32) * (sx * s1g_ref[0]) + b1g_ref[0]
     h = v * _gelu_erf(g)
-    # per-row-per-chunk dynamic requantization for the second int8 GEMM
-    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8) / 127.0
-    hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
-    acc32 = jax.lax.dot_general(
-        hq, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    acc_ref[...] += acc32.astype(jnp.float32) * (sh * s2_ref[0])
+    if w2_bf16:
+        # bf16 second GEMM on the raw int8 weight values (ints <= 127 are
+        # exact in bf16; the per-column w2 scale folds into the epilogue):
+        # skips the per-row-per-chunk requant VPU chain (max/div/round/clip)
+        # at the cost of bf16 MXU rate on ~25% of the FLOPs — measured
+        # faster AND more accurate (no second activation quantization).
+        acc_ref[...] += jax.lax.dot_general(
+            h.astype(jnp.bfloat16), w2_ref[...].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # per-row-per-chunk dynamic requantization for the second int8 GEMM
+        sh = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8) / 127.0
+        hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+        acc32 = jax.lax.dot_general(
+            hq, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[...] += acc32.astype(jnp.float32) * (sh * s2_ref[0])
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _write():
-        o_ref[...] = (acc_ref[...] + b2_ref[0]).astype(o_ref.dtype)
+        if w2_bf16:
+            o_ref[...] = (acc_ref[...] * s2_ref[0] + b2_ref[0]).astype(o_ref.dtype)
+        else:
+            o_ref[...] = (acc_ref[...] + b2_ref[0]).astype(o_ref.dtype)
 
 
 def geglu_fused_int8(
@@ -248,9 +263,16 @@ def geglu_fused_int8(
     b2f = b2.astype(jnp.float32).reshape(1, dout)
     s1 = w1_scale.astype(jnp.float32).reshape(1, 2 * inner)
     s2 = w2_scale.astype(jnp.float32).reshape(1, dout)
+    # "int8" (default): per-chunk requant + int8 second GEMM — fastest
+    # (in-process A/B: UNet fwd 29.22 vs 29.46 ms; the kernel is MXU-bound,
+    # so the requant VPU chain is cheaper than bf16 MXU rate on GEMM-2).
+    # "bf16": bf16 second GEMM on raw int8 weight values — ~3% slower FF but
+    # HALVES the kernel's quantization error (rel 0.016 vs 0.036 at ds1); a
+    # quality knob for accuracy-sensitive serving.
+    w2_bf16 = os.environ.get("LEFTREFILL_GEGLU_INT8_W2", "int8") == "bf16"
 
     return pl.pallas_call(
-        _geglu_int8_kernel,
+        functools.partial(_geglu_int8_kernel, w2_bf16=w2_bf16),
         out_shape=jax.ShapeDtypeStruct((r, dout), out_dtype),
         grid=(r // blk_r, nc),
         in_specs=[
