@@ -121,6 +121,17 @@ class LeftRefillModel:
         c_cross = self.get_learned_conditioning(params, tokens)
         return Conditioning(c_concat=c_cat, c_crossattn=c_cross)
 
+    def cross_attention_kv(self, params: Params, context: jax.Array):
+        """Conditioning KV cache: precompute every cross-attention layer's
+        (k, v) for a fixed context (the text conditioning is step-invariant
+        through a sampling scan, and XLA does not hoist the projections out
+        of the while loop — scripts/tpu_r3_licm_check.py).  Pass the result
+        to apply_model as ``cross_kv=``.  Returns None for pure-concat
+        conditioning (no cross-attention context)."""
+        if self.conditioning_key == "concat":
+            return None
+        return self.unet.apply({"params": params["unet"]}, context, method="cross_kv")
+
     # ---------- model application -----------------------------------------
 
     def apply_model(

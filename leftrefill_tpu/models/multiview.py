@@ -65,7 +65,13 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
 
         return make_context_parallel_attn(self.view_mesh, self.view_num)
 
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, **kwargs) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        cross_kv=None,
+        **kwargs,
+    ) -> jax.Array:
         if self.disable_self_attn:
             raise ValueError("The model should not disable self attention as designed.")
         bv, hw, c = x.shape
@@ -100,7 +106,7 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
             xs = self.attn1(self.norm1(xs)) + xs
             x = xs.reshape(bv, hw, c)
 
-        x = self.attn2(self.norm2(x), context) + x
+        x = self.attn2(self.norm2(x), context, kv=cross_kv) + x
         x = self.ff(self.norm3(x)) + x
         return x
 

@@ -480,16 +480,36 @@ class CrossAttention(nn.Module):
     attn_fn: Optional[Any] = None
     quant: bool = False
 
-    @nn.compact
+    def setup(self):
+        inner = self.heads * self.dim_head
+        self.to_q = QDense(inner, use_bias=False, dtype=self.dtype, quant=self.quant)
+        self.to_k = QDense(inner, use_bias=False, dtype=self.dtype, quant=self.quant)
+        self.to_v = QDense(inner, use_bias=False, dtype=self.dtype, quant=self.quant)
+        self.to_out_0 = QDense(self.query_dim, dtype=self.dtype, quant=self.quant)
+
+    def kv(self, context: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Precompute (k, v) for a fixed context — the conditioning KV cache.
+        The sampling scan's cross-attention context (text conditioning) is
+        step-invariant, but XLA does not hoist the projections out of the
+        while loop (verified on the optimized HLO, scripts/tpu_r3_licm_check.py);
+        computing them once per canvas and passing ``kv=`` removes 2 GEMMs +
+        a quantization pass per cross-attn layer per step."""
+        cq = cs = None
+        if self.quant:
+            from leftrefill_tpu.ops.quant import quantize_activation_rowwise
+
+            cq, cs = quantize_activation_rowwise(context)
+        return self.to_k(context, cq, cs), self.to_v(context, cq, cs)
+
     def __call__(
         self,
         x: jax.Array,
         context: Optional[jax.Array] = None,
         return_attn: bool = False,
+        kv: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
-        inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        xq = sx = cq = cs = None
+        xq = sx = None
         if self.quant:
             # quantize each distinct activation once; q/k/v share it when
             # self-attending (3 projections, 1 quantization pass).  Per-row
@@ -497,10 +517,20 @@ class CrossAttention(nn.Module):
             from leftrefill_tpu.ops.quant import quantize_activation_rowwise
 
             xq, sx = quantize_activation_rowwise(x)
-            cq, cs = (xq, sx) if context is None else quantize_activation_rowwise(ctx)
-        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q", quant=self.quant)(x, xq, sx)
-        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k", quant=self.quant)(ctx, cq, cs)
-        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v", quant=self.quant)(ctx, cq, cs)
+        q = self.to_q(x, xq, sx)
+        if kv is not None:
+            k, v = kv
+        else:
+            if context is None:
+                cq, cs = xq, sx
+            elif self.quant:
+                from leftrefill_tpu.ops.quant import quantize_activation_rowwise
+
+                cq, cs = quantize_activation_rowwise(ctx)
+            else:
+                cq = cs = None
+            k = self.to_k(ctx, cq, cs)
+            v = self.to_v(ctx, cq, cs)
         if return_attn:
             # attention-visualization path (reference debug dumper,
             # multiview_attention.py:208-295): sow the head-mean probs so
@@ -511,7 +541,7 @@ class CrossAttention(nn.Module):
             self.sow("intermediates", "attn_score", probs)
         fn = self.attn_fn if self.attn_fn is not None else multi_head_attention
         out = fn(q, k, v, self.heads)
-        return QDense(self.query_dim, dtype=self.dtype, name="to_out_0", quant=self.quant)(out)
+        return self.to_out_0(out)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -560,14 +590,21 @@ class BasicTransformerBlock(nn.Module):
     def self_attend(self, x_norm: jax.Array, context: Optional[jax.Array]) -> jax.Array:
         return self.attn1(x_norm, context if self.disable_self_attn else None)
 
+    def cross_kv(self, context: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Precompute attn2's (k, v) for a fixed context (the conditioning KV
+        cache; attn1 is self-attention in every shipped config and always
+        recomputes its own projections)."""
+        return self.attn2.kv(context)
+
     def __call__(
         self,
         x: jax.Array,
         context: Optional[jax.Array] = None,
         return_attn: bool = False,
+        cross_kv: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         x = self.self_attend(self.norm1(x), context) + x
-        x = self.attn2(self.norm2(x), context, return_attn=return_attn) + x
+        x = self.attn2(self.norm2(x), context, return_attn=return_attn, kv=cross_kv) + x
         x = self.ff(self.norm3(x)) + x
         return x
 
@@ -588,21 +625,23 @@ class SpatialTransformer(nn.Module):
     quant: bool = False
     block_cls: type = BasicTransformerBlock
     block_kwargs: dict = None  # extra fields for block_cls (multi-view)
+    ctx_slot: int = 0  # this ST's index in UNet traversal order (deep-prompt
+    #                    per-layer context slice, Refill_modules.py:160-181)
 
-    @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, **kwargs) -> jax.Array:
-        b, h, w, c = x.shape
+    def setup(self):
         inner = self.n_heads * self.d_head
-        x_in = x
-        x = GroupNorm32(32, eps=1e-6, name="norm")(x)
-        if not self.use_linear:
-            x = conv1x1(inner, dtype=self.dtype, name="proj_in")(x)
-        x = x.reshape(b, h * w, x.shape[-1])
+        self.norm = GroupNorm32(32, eps=1e-6, name="norm")
         if self.use_linear:
-            x = QDense(inner, dtype=self.dtype, name="proj_in", quant=self.quant)(x)
+            self.proj_in = QDense(inner, dtype=self.dtype, name="proj_in", quant=self.quant)
+            self.proj_out = QDense(
+                self.in_channels, zero=True, dtype=self.dtype, name="proj_out", quant=self.quant
+            )
+        else:
+            self.proj_in = conv1x1(inner, dtype=self.dtype, name="proj_in")
+            self.proj_out = conv1x1(self.in_channels, zero=True, dtype=self.dtype, name="proj_out")
         extra = dict(self.block_kwargs or {})
-        for i in range(self.depth):
-            x = self.block_cls(
+        self.blocks = [
+            self.block_cls(
                 dim=inner,
                 n_heads=self.n_heads,
                 d_head=self.d_head,
@@ -612,12 +651,49 @@ class SpatialTransformer(nn.Module):
                 quant=self.quant,
                 name=f"transformer_blocks_{i}",
                 **extra,
-            )(x, context, **kwargs)
+            )
+            for i in range(self.depth)
+        ]
+
+    def _slice_context(self, context: Optional[jax.Array]) -> Optional[jax.Array]:
+        """deep-prompt contexts are [B, n_layers, L, C] — one per cross-attn
+        layer in traversal order; plain contexts [B, L, C] pass through."""
+        if context is not None and context.ndim == 4:
+            return context[:, self.ctx_slot]
+        return context
+
+    def cross_kv(self, context: jax.Array) -> list:
+        """Per-depth precomputed attn2 (k, v) for a fixed context."""
+        ctx = self._slice_context(context.astype(self.dtype))
+        return [blk.cross_kv(ctx) for blk in self.blocks]
+
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        cross_kv: Optional[list] = None,
+        **kwargs,
+    ) -> jax.Array:
+        b, h, w, c = x.shape
+        context = self._slice_context(context)
+        x_in = x
+        x = self.norm(x)
+        if not self.use_linear:
+            x = self.proj_in(x)
+        x = x.reshape(b, h * w, x.shape[-1])
         if self.use_linear:
-            x = QDense(self.in_channels, zero=True, dtype=self.dtype, name="proj_out", quant=self.quant)(x)
+            x = self.proj_in(x)
+        for i, blk in enumerate(self.blocks):
+            x = blk(
+                x, context,
+                cross_kv=cross_kv[i] if cross_kv is not None else None,
+                **kwargs,
+            )
+        if self.use_linear:
+            x = self.proj_out(x)
         x = x.reshape(b, h, w, x.shape[-1])
         if not self.use_linear:
-            x = conv1x1(self.in_channels, zero=True, dtype=self.dtype, name="proj_out")(x)
+            x = self.proj_out(x)
         return x + x_in
 
 
@@ -672,6 +748,8 @@ class UNetModel(nn.Module):
         res_cls = nn.remat(ResBlock) if self.remat else ResBlock
         st_cls = nn.remat(SpatialTransformer, static_argnums=()) if self.remat else SpatialTransformer
 
+        st_slots = iter(range(1000))  # traversal-order index (deep prompt)
+
         def make_st(ch: int, name: str) -> SpatialTransformer:
             heads, dim_head = self._heads_dims(ch)
             return st_cls(
@@ -685,6 +763,7 @@ class UNetModel(nn.Module):
                 quant=self.quant,
                 block_cls=self.block_cls,
                 block_kwargs=self.block_kwargs,
+                ctx_slot=next(st_slots),
                 name=name,
             )
 
@@ -791,25 +870,42 @@ class UNetModel(nn.Module):
         self.out_0 = GroupNorm32(32, eps=1e-5, name="out_0")
         self.out_2 = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_2")
 
-    def _apply_seq(self, layers, h, emb, context, **kwargs):
+    def _apply_seq(self, layers, h, emb, context, cross_kv=None, **kwargs):
         """TimestepEmbedSequential dispatch (openaimodel.py:73-87), made
         explicit with the kind tags attached in setup."""
         for kind, layer in layers:
             if kind == "res":
                 h = layer(h, emb)
             elif kind == "st":
-                h = layer(h, context, **kwargs)
+                kv = cross_kv.get(layer.name) if cross_kv is not None else None
+                h = layer(h, context, cross_kv=kv, **kwargs)
             elif kind in ("conv", "resample"):
                 h = layer(h)
             else:
                 raise ValueError(f"unknown layer kind {kind!r}")
         return h
 
+    def _iter_sts(self):
+        for layers in [*self.input_blocks, self.middle_block, *self.output_blocks]:
+            for kind, layer in layers:
+                if kind == "st":
+                    yield layer
+
+    def cross_kv(self, context: jax.Array) -> dict:
+        """Precompute every cross-attention layer's (k, v) for a fixed
+        context — the conditioning KV cache, keyed by ST module name.  Pass
+        the result back as ``cross_kv=`` on __call__ (the sampling scan's
+        text conditioning is step-invariant; XLA does not hoist the
+        projections itself — scripts/tpu_r3_licm_check.py)."""
+        context = context.astype(self.dtype)
+        return {st.name: st.cross_kv(context) for st in self._iter_sts()}
+
     def __call__(
         self,
         x: jax.Array,
         timesteps: jax.Array,
         context: Optional[jax.Array] = None,
+        cross_kv: Optional[dict] = None,
         **kwargs,
     ) -> jax.Array:
         t_emb = timestep_embedding(timesteps, self.model_channels, dtype=self.dtype)
@@ -820,12 +916,12 @@ class UNetModel(nn.Module):
             context = context.astype(self.dtype)
         hs = []
         for layers in self.input_blocks:
-            h = self._apply_seq(layers, h, emb, context, **kwargs)
+            h = self._apply_seq(layers, h, emb, context, cross_kv=cross_kv, **kwargs)
             hs.append(h)
-        h = self._apply_seq(self.middle_block, h, emb, context, **kwargs)
+        h = self._apply_seq(self.middle_block, h, emb, context, cross_kv=cross_kv, **kwargs)
         for layers in self.output_blocks:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = self._apply_seq(layers, h, emb, context, **kwargs)
+            h = self._apply_seq(layers, h, emb, context, cross_kv=cross_kv, **kwargs)
         h = h.astype(x.dtype)
         h = nn.silu(self.out_0(h))
         return self.out_2(h).astype(x.dtype)

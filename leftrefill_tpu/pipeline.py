@@ -120,7 +120,18 @@ def _generate(
     shape = (b, h, w, model.unet.out_channels)
 
     tables = model.schedule.ddim_tables(ddim_steps, eta=eta)
-    apply_fn = lambda x, t, c: model.apply_model(params, x, t, c)
+    # conditioning KV cache: the text context is step-invariant, so the 16
+    # cross-attn layers' k/v projections are computed ONCE per canvas here
+    # instead of in every scan step (order [uncond; cond] matches the fused
+    # CFG batch built by _guided_eps)
+    use_cfg = guidance_scale != 1.0
+    ctx_all = (
+        jnp.concatenate([uncond.c_crossattn, cond.c_crossattn], axis=0)
+        if use_cfg
+        else cond.c_crossattn
+    )
+    kv = model.cross_attention_kv(params, ctx_all)
+    apply_fn = lambda x, t, c: model.apply_model(params, x, t, c, cross_kv=kv)
     if sampler == "dpm++2m":
         from leftrefill_tpu.diffusion.samplers_extra import dpm_solver_pp_2m_sample
 

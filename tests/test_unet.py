@@ -106,3 +106,44 @@ def test_return_attn_sows_cross_attention(tiny_unet):
         assert k.endswith("attn_score")
         assert v.shape[-1] == 7  # context length
         assert np.allclose(v.sum(-1), 1.0, atol=1e-4)
+
+
+def test_cross_kv_cache_bitexact(tiny_unet):
+    """The conditioning KV cache (UNetModel.cross_kv -> cross_kv=) computes
+    the same projections once: forward output is bit-identical to the
+    per-call path (same math, different schedule)."""
+    model, params = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 32, 9))
+    t = jnp.array([10, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (2, 7, 16))
+    ref = model.apply(params, x, t, ctx)
+    kv = model.apply(params, ctx, method="cross_kv")
+    assert set(kv) == {st.name for st in model.bind(params)._iter_sts()}
+    out = model.apply(params, x, t, ctx, cross_kv=kv)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_deep_prompt_context_slices_per_layer(tiny_unet):
+    """deep-prompt contexts [B, n_layers, L, C] feed one slice per
+    cross-attention layer in traversal order (Refill_modules.py:160-181):
+    all-equal slices reproduce the 3-D result; perturbing one slot changes
+    the output."""
+    from tests.test_tasks import unzero_kernels
+
+    model, params = tiny_unet
+    params = unzero_kernels(params)  # zero-init proj_out/out_2 block all ctx flow
+    n_st = len(list(model.bind(params)._iter_sts()))
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 32, 9))
+    t = jnp.array([10, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(6), (2, 7, 16))
+    deep = jnp.broadcast_to(ctx[:, None], (2, n_st, 7, 16))
+    ref = model.apply(params, x, t, ctx)
+    out = model.apply(params, x, t, deep)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    perturbed = deep.at[:, 1].add(1.0)
+    out2 = model.apply(params, x, t, perturbed)
+    assert not np.allclose(np.asarray(ref), np.asarray(out2))
+    # the KV cache honors the per-slot slicing too
+    kv = model.apply(params, perturbed, method="cross_kv")
+    out3 = model.apply(params, x, t, perturbed, cross_kv=kv)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out3))
