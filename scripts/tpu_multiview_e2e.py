@@ -45,6 +45,8 @@ def sample(up, vp, key):
     sig = jnp.asarray(tables.sigmas, jnp.float32)
     ts = jnp.asarray(tables.timesteps, jnp.int32)
     x = jax.random.normal(key, (V, 64, 128, 4), jnp.float32)
+    # conditioning KV cache: projections of the fixed CFG context, once
+    kv = unet.apply(up, jnp.concatenate([ctx_u, ctx_c], 0), method="cross_kv")
 
     def step(carry, i):
         x, key = carry
@@ -53,7 +55,7 @@ def sample(up, vp, key):
         xin = jnp.concatenate([x, x], 0).astype(jnp.bfloat16)
         cc = jnp.concatenate([c_concat, c_concat], 0)
         cx = jnp.concatenate([ctx_u, ctx_c], 0)
-        eps = unet.apply(up, jnp.concatenate([xin, cc], -1), t, cx).astype(jnp.float32)
+        eps = unet.apply(up, jnp.concatenate([xin, cc], -1), t, cx, cross_kv=kv).astype(jnp.float32)
         e_u, e_c = eps[:V], eps[V:]
         e = e_u + 2.5 * (e_c - e_u)
         at, atp, s_ = a[idx], ap[idx], sig[idx]
