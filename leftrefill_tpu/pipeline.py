@@ -40,6 +40,9 @@ class RefInpaintPipeline:
     guidance_scale: float = 2.5
     eta: float = 1.0
     sampler: str = "ddim"  # "ddim" | "dpm++2m" (opt-in fast path, ~20 steps)
+    # latency-oriented batch/CFG parallelism (parallel/batch.py): shard the
+    # CFG-doubled UNet batch over this mesh's 'data' axis; None = single-device
+    mesh: Optional[Any] = None
 
     def __post_init__(self):
         self._prompt_tokens = np.asarray(
@@ -54,6 +57,7 @@ class RefInpaintPipeline:
                 eta=self.eta,
                 guidance_scale=self.guidance_scale,
                 sampler=self.sampler,
+                mesh=self.mesh,
             )
         )
 
@@ -109,6 +113,7 @@ def _generate(
     eta: float,
     guidance_scale: float,
     sampler: str = "ddim",
+    mesh=None,
 ) -> jax.Array:
     masked_image = image * (mask < 0.5)
     cond = model.build_inpaint_cond(params, tokens, mask, masked_image)
@@ -131,7 +136,12 @@ def _generate(
         else cond.c_crossattn
     )
     kv = model.cross_attention_kv(params, ctx_all)
-    apply_fn = lambda x, t, c: model.apply_model(params, x, t, c, cross_kv=kv)
+    if mesh is not None:
+        from leftrefill_tpu.parallel.batch import batch_parallel_apply
+
+        apply_fn = batch_parallel_apply(model, params, mesh, cross_kv=kv)
+    else:
+        apply_fn = lambda x, t, c: model.apply_model(params, x, t, c, cross_kv=kv)
     if sampler == "dpm++2m":
         from leftrefill_tpu.diffusion.samplers_extra import dpm_solver_pp_2m_sample
 
