@@ -157,7 +157,44 @@ def conv3x3(features: int, *, strides: int = 1, zero: bool = False, dtype: Dtype
     )
 
 
-def conv1x1(features: int, *, zero: bool = False, dtype: Dtype, name: str | None = None) -> nn.Conv:
+class QConv1x1(nn.Module):
+    """1x1 conv with nn.Conv's param layout (kernel [1,1,ci,co]) plus the W8A8
+    int8 path — a 1x1 conv IS a dense over channels, so the int8 GEMM + per-row
+    activation scales apply directly (reference sites: ResBlock.skip_connection,
+    openaimodel.py:241-247)."""
+
+    features: int
+    zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
+            (1, 1, ci, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        scale = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+        shp = x.shape
+        if kernel.dtype == jnp.int8:
+            from leftrefill_tpu.ops.quant import dense_int8, quantize_activation_rowwise
+
+            xq, xs = quantize_activation_rowwise(x.reshape(-1, ci))
+            y = dense_int8(
+                xq, xs, kernel.reshape(ci, self.features), scale, bias, out_dtype=self.dtype
+            )
+            return y.reshape(*shp[:-1], self.features)
+        y = x.astype(self.dtype).reshape(-1, ci) @ kernel.reshape(ci, self.features).astype(self.dtype)
+        y = y + bias.astype(self.dtype)
+        return y.reshape(*shp[:-1], self.features)
+
+
+def conv1x1(features: int, *, zero: bool = False, dtype: Dtype, name: str | None = None, quant: bool = False):
+    if quant:
+        return QConv1x1(features=features, zero=zero, dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(1, 1),
@@ -208,12 +245,13 @@ class Upsample(nn.Module):
     channels: int
     use_conv: bool = True
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nearest_upsample_2x(x)
         if self.use_conv:
-            x = conv3x3(self.channels, dtype=self.dtype, name="conv")(x)
+            x = conv3x3(self.channels, dtype=self.dtype, name="conv", quant=self.quant)(x)
         return x
 
 
@@ -368,7 +406,10 @@ class ResBlock(nn.Module):
         if self.out_channels == in_ch:
             skip = x
         else:
-            skip = conv1x1(self.out_channels, dtype=self.dtype, name="skip_connection")(x)
+            skip = conv1x1(
+                self.out_channels, dtype=self.dtype, name="skip_connection",
+                quant=self.quant,
+            )(x)
         return skip + h
 
 
@@ -858,6 +899,7 @@ class UNetModel(nn.Module):
                                 ch,
                                 use_conv=self.conv_resample,
                                 dtype=self.dtype,
+                                quant=self.quant,
                                 name=f"output_blocks_{oidx}_{li}",
                             ),
                         )

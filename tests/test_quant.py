@@ -284,3 +284,57 @@ def test_gn_silu_conv_fused_matches_unfused(mode):
         )
     rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert rel < 0.02, (mode, rel)
+
+
+def test_qconv1x1_int8_matches_fp():
+    """QConv1x1 (ResBlock.skip_connection int8 path): int8 GEMM with per-row
+    activation scales stays close to the fp 1x1 conv."""
+    from leftrefill_tpu.models.unet import QConv1x1
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 16, 96).astype(np.float32))
+    m = QConv1x1(features=64, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    fp = np.asarray(m.apply({"params": params}, x))
+
+    wq, ws = quantize_weight(params["kernel"], axis=-1)
+    qparams = dict(params, kernel=wq, kernel_scale=ws)
+    q = np.asarray(m.apply({"params": qparams}, x))
+    assert np.abs(q - fp).max() / np.abs(fp).max() < 0.03
+
+
+def test_quantized_unet_covers_skip_and_upsample():
+    """A channel-changing UNet (channel_mult (1,2)) quantizes the skip 1x1 and
+    the Upsample conv too (previously fp XLA convs) and stays close to fp."""
+    from leftrefill_tpu.models.unet import UNetModel
+
+    def mk(quant):
+        return UNetModel(
+            in_channels=9, model_channels=64, out_channels=4, num_res_blocks=1,
+            attention_resolutions=(1,), channel_mult=(1, 2), num_head_channels=32,
+            context_dim=64, dtype=jnp.float32, quant=quant,
+        )
+
+    fp_model, q_model = mk(False), mk(True)
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 16, 32, 9).astype(np.float32)
+    t = np.array([11], np.int64)
+    ctx = rng.randn(1, 77, 64).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+
+    params = jax.jit(fp_model.init)(jax.random.PRNGKey(0), *args)["params"]
+    from tests.test_tasks import unzero_kernels
+
+    params = unzero_kernels(params)
+    q_struct = jax.eval_shape(q_model.init, jax.random.PRNGKey(0), *args)["params"]
+    qparams = quantize_params_like(q_struct, params)
+
+    # the previously-fp sites now carry int8 kernels
+    assert qparams["output_blocks_1_0"]["skip_connection"]["kernel"].dtype == jnp.int8
+    assert qparams["output_blocks_1_1"]["conv"]["kernel"].dtype == jnp.int8
+
+    fp_out = np.asarray(jax.jit(fp_model.apply)({"params": params}, x, t, ctx))
+    q_out = np.asarray(jax.jit(q_model.apply)({"params": qparams}, x, t, ctx))
+    rel = np.abs(q_out - fp_out).max() / max(np.abs(fp_out).max(), 1e-6)
+    assert np.isfinite(q_out).all()
+    assert rel < 0.15, rel
