@@ -54,6 +54,7 @@ class Conv3x3(nn.Module):
     zero: bool = False
     dtype: Dtype = jnp.float32
     quant: bool = False
+    strides: int = 1  # stride-2 (Downsample) supported on the quant path
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -69,26 +70,44 @@ class Conv3x3(nn.Module):
             if self.quant
             else None
         )
-        return conv3x3_forward(x, kernel, bias, scale, self.dtype, self.quant)
+        return conv3x3_forward(
+            x, kernel, bias, scale, self.dtype, self.quant, strides=self.strides
+        )
 
 
-def conv3x3_forward(x, kernel, bias, scale, dtype, quant) -> jax.Array:
+def conv3x3_forward(x, kernel, bias, scale, dtype, quant, strides: int = 1) -> jax.Array:
     """Conv3x3's dispatch as a function (shared with the fused ResBlock)."""
     from leftrefill_tpu.ops.conv import conv3x3_apply
 
     ci = x.shape[-1]
     features = kernel.shape[-1]
     if quant and kernel.dtype == jnp.int8:
-        from leftrefill_tpu.ops.quant import conv3x3_int8, conv3x3_int8_qualifies
+        from leftrefill_tpu.ops.quant import (
+            conv3x3_int8,
+            conv3x3_int8_qualifies,
+            conv_int8_xla,
+            int8_xla_conv_enabled,
+        )
 
         b, h, w, _ = x.shape
-        if conv3x3_int8_qualifies(h, w, ci, features):
+        if strides == 1 and conv3x3_int8_qualifies(h, w, ci, features):
             return conv3x3_int8(
                 x.astype(dtype), kernel, scale, bias.astype(dtype), out_dtype=dtype
+            )
+        if int8_xla_conv_enabled():
+            return conv_int8_xla(
+                x.astype(dtype), kernel, scale, bias,
+                strides=(strides, strides), out_dtype=dtype,
             )
         # dequantize: exact inverse of the per-channel quantization
         kernel = kernel.astype(jnp.float32) * scale[None, None, None, :]
     x = x.astype(dtype)
+    if strides != 1:
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(dtype), window_strides=(strides, strides),
+            padding=PAD1, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(dtype)
     return conv3x3_apply(x, kernel.astype(dtype), bias.astype(dtype))
 
 
@@ -142,8 +161,11 @@ class QDense(nn.Module):
 
 
 def conv3x3(features: int, *, strides: int = 1, zero: bool = False, dtype: Dtype, name: str | None = None, quant: bool = False):
-    if strides == 1:
-        return Conv3x3(features=features, zero=zero, dtype=dtype, name=name, quant=quant)
+    if strides == 1 or quant:
+        return Conv3x3(
+            features=features, zero=zero, dtype=dtype, name=name, quant=quant,
+            strides=strides,
+        )
     return nn.Conv(
         features,
         kernel_size=(3, 3),
@@ -261,11 +283,14 @@ class Downsample(nn.Module):
     channels: int
     use_conv: bool = True
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.use_conv:
-            return conv3x3(self.channels, strides=2, dtype=self.dtype, name="op")(x)
+            return conv3x3(
+                self.channels, strides=2, dtype=self.dtype, name="op", quant=self.quant
+            )(x)
         return avg_pool_2x(x)
 
 
@@ -849,6 +874,7 @@ class UNetModel(nn.Module):
                                 ch,
                                 use_conv=self.conv_resample,
                                 dtype=self.dtype,
+                                quant=self.quant,
                                 name=f"input_blocks_{idx}_0",
                             ),
                         )

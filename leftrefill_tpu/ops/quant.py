@@ -406,6 +406,40 @@ def conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int) -> bool:
     )
 
 
+def int8_xla_conv_enabled() -> bool:
+    """Opt-in gate for routing plan-less int8 convs through XLA's native
+    s8xs8->s32 conv lowering instead of the weight-dequantize fp fallback.
+    Off by default until the per-shape TPU A/B confirms a win (r2 measured
+    ~400 TOPS for XLA int8 dots; the conv emitter is unverified)."""
+    return os.environ.get("LEFTREFILL_INT8_XLA_CONV", "0") == "1"
+
+
+def conv_int8_xla(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array,
+    strides: tuple[int, int] = (1, 1),
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """W8A8 conv through XLA (any 3x3 shape/stride, torch padding=1): covers
+    the stride-2 Downsample (openaimodel.py:133-159) and levels without a
+    Pallas VMEM plan.  int32 accumulation on the int8 MXU path."""
+    xq, sx = quantize_activation(x)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=strides,
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * (sx * w_scale.astype(jnp.float32)) + bias.astype(
+        jnp.float32
+    )
+    return out.astype(out_dtype)
+
+
 def conv3x3_int8_reference(x, wq, w_scale, bias):
     """Emulated int8 conv (XLA, fp32 math on the quantized values) — the
     numeric oracle for the kernel."""

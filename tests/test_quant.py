@@ -338,3 +338,57 @@ def test_quantized_unet_covers_skip_and_upsample():
     rel = np.abs(q_out - fp_out).max() / max(np.abs(fp_out).max(), 1e-6)
     assert np.isfinite(q_out).all()
     assert rel < 0.15, rel
+
+
+def test_conv_int8_xla_matches_reference_stride1_and_2():
+    """conv_int8_xla (native s8 conv, int32 acc) == the fp-emulated oracle.
+    ci kept small so the f32 emulation is exact (acc < 2^24)."""
+    from leftrefill_tpu.ops.quant import conv_int8_xla
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 12, 96).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 96, 64).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    wq, ws = quantize_weight(w, axis=-1)
+
+    ref = np.asarray(conv3x3_int8_reference(x, wq, ws, bias))
+    got = np.asarray(conv_int8_xla(x, wq, ws, bias, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+    # stride 2: compare against the same emulation with strided fp conv
+    got2 = np.asarray(
+        conv_int8_xla(x, wq, ws, bias, strides=(2, 2), out_dtype=jnp.float32)
+    )
+    from leftrefill_tpu.ops.quant import quantize_activation
+
+    xq, sx = quantize_activation(x)
+    ref2 = jax.lax.conv_general_dilated(
+        xq.astype(jnp.float32), wq.astype(jnp.float32), (2, 2),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) * (sx * np.asarray(ws)) + np.asarray(bias)
+    np.testing.assert_allclose(got2, np.asarray(ref2), atol=1e-4, rtol=1e-5)
+
+
+def test_quant_downsample_close_to_fp(monkeypatch):
+    """The quantized stride-2 Downsample conv (both the dequant fallback and
+    the gated XLA-int8 path) stays close to the fp Downsample."""
+    from leftrefill_tpu.models.unet import Downsample
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 24, 128).astype(np.float32))
+    fp = Downsample(128, dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), x)["params"]
+    fp_out = np.asarray(fp.apply({"params": params}, x))
+
+    q = Downsample(128, dtype=jnp.float32, quant=True)
+    q_struct = jax.eval_shape(q.init, jax.random.PRNGKey(0), x)["params"]
+    qparams = quantize_params_like(q_struct, params)
+    assert qparams["op"]["kernel"].dtype == jnp.int8
+    assert fp_out.shape == (1, 8, 12, 128)
+
+    for flag in ("0", "1"):
+        monkeypatch.setenv("LEFTREFILL_INT8_XLA_CONV", flag)
+        q_out = np.asarray(q.apply({"params": qparams}, x))
+        assert q_out.shape == fp_out.shape
+        rel = np.abs(q_out - fp_out).max() / np.abs(fp_out).max()
+        assert rel < 0.05, (flag, rel)
