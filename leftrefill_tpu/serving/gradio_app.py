@@ -46,6 +46,7 @@ def initialize_model(
     sd_ckpt: Optional[str] = None,
     img_size: int = 512,
     quantized: bool = False,
+    dp_devices: int = 0,
 ):
     """Build the serving pipeline from an experiment dir
     (ref_inpainting_gradio.py:27-51).  Enables the persistent XLA compilation
@@ -53,7 +54,11 @@ def initialize_model(
 
     ``quantized=True`` rebuilds the UNet in the opt-in W8A8 int8 mode and
     quantizes its weights once at load (ops/quant.py; quality must be A/B'd
-    against bf16 for the deployed checkpoint)."""
+    against bf16 for the deployed checkpoint).
+
+    ``dp_devices > 1`` shards the CFG-doubled UNet batch over that many
+    devices (parallel/batch.py latency mode) — 2 halves the per-step UNet
+    latency of the single-canvas protocol on a 2-chip slice."""
     from leftrefill_tpu.config import build_model_from_config
     from leftrefill_tpu.pipeline import RefInpaintPipeline
     from leftrefill_tpu.runtime import enable_persistent_compilation_cache
@@ -96,12 +101,18 @@ def initialize_model(
         params = dict(params)
         params["unet"] = quantize_params_like(q_struct, params["unet"])
         model = _dc.replace(model, unet=q_unet)
+    mesh = None
+    if dp_devices and dp_devices > 1:
+        from leftrefill_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp_devices)
     return RefInpaintPipeline(
         model=model,
         params=params,
         tokenizer=bundle.cond_bundle.tokenizer,
         special_tokens=bundle.cond_bundle.special_tokens,
         eta=1.0,
+        mesh=mesh,
     )
 
 
@@ -217,8 +228,13 @@ def main(argv=None):
     p.add_argument("--port", default=7860, type=int)
     p.add_argument("--quantized", action="store_true",
                    help="W8A8 int8 UNet (opt-in; A/B quality first)")
+    p.add_argument("--dp", default=0, type=int,
+                   help="shard the CFG-doubled UNet batch over N devices "
+                        "(latency mode, parallel/batch.py)")
     args = p.parse_args(argv)
-    pipe = initialize_model(args.model_path, args.sd_ckpt, quantized=args.quantized)
+    pipe = initialize_model(
+        args.model_path, args.sd_ckpt, quantized=args.quantized, dp_devices=args.dp
+    )
     build_ui(pipe).launch(server_port=args.port)
 
 

@@ -96,3 +96,49 @@ def test_predict_pads_non_64_multiple_inputs():
     assert len(outs) == 1
     assert outs[0].shape == (32, 32, 3)
     assert outs[0].dtype == np.uint8
+
+
+def test_predict_with_dp_mesh_matches_single_device():
+    """Serving with the CFG/batch-parallel mesh (--dp): same predict contract
+    and identical output vs the unsharded pipeline at the same seed."""
+    import dataclasses
+
+    import numpy as np
+
+    from leftrefill_tpu.parallel.mesh import make_mesh
+    from leftrefill_tpu.serving.gradio_app import predict
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from leftrefill_tpu.config import build_model_from_config
+    from leftrefill_tpu.pipeline import RefInpaintPipeline
+    from leftrefill_tpu.tasks import build_task
+
+    bundle = build_model_from_config(yaml.safe_load(TINY_YAML), dtype=jnp.float32)
+    task = build_task(bundle)
+    params = task.init_params(jax.random.PRNGKey(0), latent_hw=(8, 16))
+    base = RefInpaintPipeline(
+        model=bundle.model,
+        params=params,
+        tokenizer=bundle.cond_bundle.tokenizer,
+        special_tokens=bundle.cond_bundle.special_tokens,
+        ddim_steps=4,
+        eta=1.0,
+    )
+    dp = dataclasses.replace(base, mesh=make_mesh(2))
+
+    rng = np.random.RandomState(1)
+    reference = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    source = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    sketch = np.zeros((32, 32), np.uint8)
+    sketch[8:24, 8:24] = 255
+
+    kw = dict(ddim_steps=4, num_samples=1, scale=2.5, seed=9, img_size=32)
+    out_single = predict(base, reference, source, sketch, **kw)
+    out_dp = predict(dp, reference, source, sketch, **kw)
+    assert out_dp[0].shape == out_single[0].shape
+    # uint8 quantization absorbs the tiny cross-device reduction reordering
+    diff = np.abs(out_dp[0].astype(int) - out_single[0].astype(int))
+    assert diff.max() <= 1, diff.max()
