@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_full_bundle(dtype=jnp.bfloat16, quant=False):
+def build_full_bundle(dtype=jnp.bfloat16, quant=False, quant_vae=False):
     from leftrefill_tpu.diffusion.core import LeftRefillModel
     from leftrefill_tpu.diffusion.schedules import DiffusionSchedule
     from leftrefill_tpu.models.autoencoder import AutoencoderKL, DDConfig
@@ -30,7 +30,9 @@ def build_full_bundle(dtype=jnp.bfloat16, quant=False):
     from leftrefill_tpu.models.unet import UNetModel
 
     unet = UNetModel(dtype=dtype, quant=quant)  # SD2-inpainting defaults (865M)
-    vae = AutoencoderKL(ddconfig=DDConfig(), embed_dim=4, dtype=dtype)
+    vae = AutoencoderKL(
+        ddconfig=DDConfig(), embed_dim=4, dtype=dtype, quant_decoder=quant_vae
+    )
     clip = PromptCLIPEmbedder(dtype=dtype)  # ViT-H text (354M)
     schedule = DiffusionSchedule.create(
         timesteps=1000, beta_schedule="linear", linear_start=0.00085, linear_end=0.0120
@@ -53,6 +55,11 @@ def build_full_bundle(dtype=jnp.bfloat16, quant=False):
             jnp.zeros((1, 77, 1024)),
         )["params"]
         params["unet"] = quantize_params_like(q_struct, params["unet"])
+    if quant_vae:
+        from leftrefill_tpu.ops.quant import quantize_params_like
+
+        v_struct = jax.eval_shape(vae.init, k, jnp.zeros((1, 64, 128, 3)))["params"]
+        params["vae"] = quantize_params_like(v_struct, params["vae"])
     return model, params
 
 
@@ -72,6 +79,8 @@ def main():
     # eps deviation mean 3.6% per forward, cancels through the sampler).
     # BENCH_QUANT=0 restores the bf16 path.
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
+    # opt-in: W8A8 on the VAE decoder res-block convs too (quality A/B first)
+    quant_vae = os.environ.get("BENCH_QUANT_VAE", "0") == "1"
 
     # canvases per timing call, run back-to-back ON DEVICE (lax.scan over
     # keys): measures the serving steady state.  Per-dispatch host overhead
@@ -80,7 +89,7 @@ def main():
     # measured.  BENCH_INNER=1 restores the one-dispatch-per-canvas timing.
     inner = int(os.environ.get("BENCH_INNER", "3"))
 
-    model, params = build_full_bundle(quant=quant)
+    model, params = build_full_bundle(quant=quant, quant_vae=quant_vae)
     import functools
     import warnings
 
@@ -142,7 +151,8 @@ def main():
                 "metric": (
                     f"canvases_per_sec_512x1024_{steps}step"
                     f"{'_' + sampler if sampler != 'ddim' else ''}"
-                    f"{'_int8' if quant else ''}_cfg2.5_b{batch}"
+                    f"{'_int8' if quant else ''}{'_vae8' if quant_vae else ''}"
+                    f"_cfg2.5_b{batch}"
                 ),
                 "value": round(canvases_per_sec, 4),
                 "unit": "canvases/sec/chip",

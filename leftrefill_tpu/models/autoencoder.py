@@ -34,7 +34,19 @@ Dtype = Any
 PAD1 = ((1, 1), (1, 1))
 
 
-def _conv(features: int, kernel: int = 3, strides: int = 1, padding=PAD1, *, dtype, name=None):
+def _conv(
+    features: int, kernel: int = 3, strides: int = 1, padding=PAD1, *,
+    dtype, name=None, quant: bool = False,
+):
+    if quant and strides == 1:
+        # W8A8 variants with identical param layout (kernel HWIO + bias +
+        # kernel_scale); dispatch falls back to an exact dequantized fp conv
+        # wherever no int8 path qualifies, so the tree stays numerically valid.
+        from leftrefill_tpu.models.unet import Conv3x3, QConv1x1
+
+        if kernel == 3:
+            return Conv3x3(features=features, dtype=dtype, name=name, quant=True)
+        return QConv1x1(features=features, dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(kernel, kernel),
@@ -51,18 +63,22 @@ class VAEResnetBlock(nn.Module):
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         h = GroupNorm32(32, eps=1e-6, name="norm1")(x)
         h = nn.silu(h)
-        h = _conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        h = _conv(self.out_channels, dtype=self.dtype, name="conv1", quant=self.quant)(h)
         h = GroupNorm32(32, eps=1e-6, name="norm2")(h)
         h = nn.silu(h)
-        h = _conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        h = _conv(self.out_channels, dtype=self.dtype, name="conv2", quant=self.quant)(h)
         if in_ch != self.out_channels:
-            x = _conv(self.out_channels, kernel=1, dtype=self.dtype, name="nin_shortcut")(x)
+            x = _conv(
+                self.out_channels, kernel=1, dtype=self.dtype, name="nin_shortcut",
+                quant=self.quant,
+            )(x)
         return x + h
 
 
@@ -108,11 +124,12 @@ class VAEDownsample(nn.Module):
 class VAEUpsample(nn.Module):
     channels: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nearest_upsample_2x(x)
-        return _conv(self.channels, dtype=self.dtype, name="conv")(x)
+        return _conv(self.channels, dtype=self.dtype, name="conv", quant=self.quant)(x)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,10 +181,16 @@ class VAEEncoder(nn.Module):
 
 
 class VAEDecoder(nn.Module):
-    """model.py:547-653."""
+    """model.py:547-653.
+
+    ``quant=True``: W8A8 int8 on the res-block convs (the decoder is ~70 ms of
+    the 512x1024 canvas at ~25% MXU utilisation — conv-bound).  conv_in (4-ch
+    input) and conv_out (the final RGB layer) stay fp: no speed win, highest
+    quality sensitivity."""
 
     cfg: DDConfig = DDConfig()
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -176,19 +199,23 @@ class VAEDecoder(nn.Module):
         block_in = cfg.ch * cfg.ch_mult[num_res - 1]
         curr_res = cfg.resolution // 2 ** (num_res - 1)
         h = _conv(block_in, dtype=self.dtype, name="conv_in")(z.astype(self.dtype))
-        h = VAEResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = VAEResnetBlock(block_in, dtype=self.dtype, quant=self.quant, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = VAEResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = VAEResnetBlock(block_in, dtype=self.dtype, quant=self.quant, name="mid_block_2")(h)
         for i_level in reversed(range(num_res)):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
                 h = VAEResnetBlock(
-                    block_out, dtype=self.dtype, name=f"up_{i_level}_block_{i_block}"
+                    block_out, dtype=self.dtype, quant=self.quant,
+                    name=f"up_{i_level}_block_{i_block}",
                 )(h)
                 if curr_res in cfg.attn_resolutions:
                     h = VAEAttnBlock(dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = VAEUpsample(h.shape[-1], dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+                h = VAEUpsample(
+                    h.shape[-1], dtype=self.dtype, quant=self.quant,
+                    name=f"up_{i_level}_upsample",
+                )(h)
                 curr_res *= 2
         h = GroupNorm32(32, eps=1e-6, name="norm_out")(h)
         h = nn.silu(h)
@@ -260,10 +287,13 @@ class AutoencoderKL(nn.Module):
     ddconfig: DDConfig = DDConfig()
     embed_dim: int = 4
     dtype: Dtype = jnp.float32
+    quant_decoder: bool = False  # W8A8 decoder res-block convs (opt-in)
 
     def setup(self):
         self.encoder = VAEEncoder(self.ddconfig, dtype=self.dtype, name="encoder")
-        self.decoder = VAEDecoder(self.ddconfig, dtype=self.dtype, name="decoder")
+        self.decoder = VAEDecoder(
+            self.ddconfig, dtype=self.dtype, quant=self.quant_decoder, name="decoder"
+        )
         z = self.ddconfig.z_channels
         mult = 2 if self.ddconfig.double_z else 1
         self.quant_conv = nn.Conv(

@@ -68,3 +68,34 @@ def test_vae_param_names(tiny_vae):
     assert "down_0_block_0" in enc and "down_0_downsample" in enc
     assert "up_1_block_0" in dec and "up_1_upsample" in dec
     assert "quant_conv" in p and "post_quant_conv" in p
+
+
+def test_quant_decoder_close_to_fp_and_tree_compatible():
+    """AutoencoderKL(quant_decoder=True): decoder res-block convs carry int8
+    kernels via quantize_params_like (same torch-key layout), output close to
+    the fp decoder; conv_in/conv_out stay fp."""
+    import jax
+    import jax.numpy as jnp
+
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    fp = AutoencoderKL(ddconfig=TINY, embed_dim=4, dtype=jnp.float32)
+    q = AutoencoderKL(ddconfig=TINY, embed_dim=4, dtype=jnp.float32, quant_decoder=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
+    params = jax.jit(fp.init)(jax.random.PRNGKey(0), x)["params"]
+    q_struct = jax.eval_shape(q.init, jax.random.PRNGKey(0), x)["params"]
+    qparams = quantize_params_like(q_struct, params)
+
+    dec = qparams["decoder"]
+    assert dec["up_1_block_0"]["conv1"]["kernel"].dtype == jnp.int8
+    assert dec["up_1_upsample"]["conv"]["kernel"].dtype == jnp.int8
+    assert dec["conv_in"]["kernel"].dtype == jnp.float32
+    assert dec["conv_out"]["kernel"].dtype == jnp.float32
+    assert qparams["encoder"]["conv_in"]["kernel"].dtype == jnp.float32
+
+    z = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 4), jnp.float32)
+    fp_out = np.asarray(jax.jit(lambda p, z: fp.apply({"params": p}, z, method=fp.decode))(params, z))
+    q_out = np.asarray(jax.jit(lambda p, z: q.apply({"params": p}, z, method=q.decode))(qparams, z))
+    rel = np.abs(q_out - fp_out).max() / np.abs(fp_out).max()
+    assert np.isfinite(q_out).all()
+    assert rel < 0.1, rel
