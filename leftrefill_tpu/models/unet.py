@@ -668,8 +668,17 @@ class BasicTransformerBlock(nn.Module):
         context: Optional[jax.Array] = None,
         return_attn: bool = False,
         cross_kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        dup_to_context: bool = False,
     ) -> jax.Array:
+        """``dup_to_context``: x carries HALF the context batch (the CFG
+        shared-prefix path, UNetModel.cfg_dup) — everything before the first
+        context consumer ran once; duplicate x right before it."""
+        if dup_to_context and self.disable_self_attn:
+            x = jnp.concatenate([x, x], axis=0)  # attn1 consumes context
+            dup_to_context = False
         x = self.self_attend(self.norm1(x), context) + x
+        if dup_to_context:
+            x = jnp.concatenate([x, x], axis=0)
         x = self.attn2(self.norm2(x), context, return_attn=return_attn, kv=cross_kv) + x
         x = self.ff(self.norm3(x)) + x
         return x
@@ -738,6 +747,7 @@ class SpatialTransformer(nn.Module):
         x: jax.Array,
         context: Optional[jax.Array] = None,
         cross_kv: Optional[list] = None,
+        dup_to_context: bool = False,
         **kwargs,
     ) -> jax.Array:
         b, h, w, c = x.shape
@@ -750,16 +760,20 @@ class SpatialTransformer(nn.Module):
         if self.use_linear:
             x = self.proj_in(x)
         for i, blk in enumerate(self.blocks):
+            extra = {"dup_to_context": True} if (dup_to_context and i == 0) else {}
             x = blk(
                 x, context,
                 cross_kv=cross_kv[i] if cross_kv is not None else None,
+                **extra,
                 **kwargs,
             )
         if self.use_linear:
             x = self.proj_out(x)
-        x = x.reshape(b, h, w, x.shape[-1])
+        x = x.reshape(x.shape[0], h, w, x.shape[-1])
         if not self.use_linear:
             x = self.proj_out(x)
+        if x.shape[0] != x_in.shape[0]:  # prefix ran at half batch (cfg_dup)
+            x_in = jnp.concatenate([x_in, x_in], axis=0)
         return x + x_in
 
 
@@ -938,15 +952,23 @@ class UNetModel(nn.Module):
         self.out_0 = GroupNorm32(32, eps=1e-5, name="out_0")
         self.out_2 = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_2")
 
-    def _apply_seq(self, layers, h, emb, context, cross_kv=None, **kwargs):
+    def _apply_seq(self, layers, h, emb, context, cross_kv=None, dup_state=None, **kwargs):
         """TimestepEmbedSequential dispatch (openaimodel.py:73-87), made
-        explicit with the kind tags attached in setup."""
+        explicit with the kind tags attached in setup.
+
+        ``dup_state`` ({"on": bool} or None): the CFG shared-prefix state —
+        while on, h carries HALF the batch (the two CFG halves are identical
+        until the first cross-attention consumes the context; see cfg_dup)."""
+        dup_on = dup_state is not None and dup_state["on"]
         for kind, layer in layers:
             if kind == "res":
-                h = layer(h, emb)
+                h = layer(h, emb[: h.shape[0]] if dup_on else emb)
             elif kind == "st":
                 kv = cross_kv.get(layer.name) if cross_kv is not None else None
-                h = layer(h, context, cross_kv=kv, **kwargs)
+                extra = {"dup_to_context": True} if dup_on else {}
+                h = layer(h, context, cross_kv=kv, **extra, **kwargs)
+                if dup_on:
+                    dup_state["on"] = dup_on = False
             elif kind in ("conv", "resample"):
                 h = layer(h)
             else:
@@ -974,22 +996,47 @@ class UNetModel(nn.Module):
         timesteps: jax.Array,
         context: Optional[jax.Array] = None,
         cross_kv: Optional[dict] = None,
+        cfg_dup: bool = False,
         **kwargs,
     ) -> jax.Array:
+        """``cfg_dup``: the caller guarantees the two batch halves of x (and
+        of timesteps) are IDENTICAL — the CFG doubling layout where cond and
+        uncond share x_noisy and c_concat and differ only in the text context
+        (serving protocol, ref_inpainting_gradio.py:105-121; the reference
+        recomputes the shared prefix twice, ddim.py:317-343).  Everything up
+        to the first cross-attention then runs ONCE at half batch and is
+        duplicated at the first context consumer — bit-exact, saves the input
+        conv + first ResBlock + first self-attention per step."""
         t_emb = timestep_embedding(timesteps, self.model_channels, dtype=self.dtype)
         emb = self.time_embed_2(nn.silu(self.time_embed_0(t_emb)))
 
         h = x.astype(self.dtype)
         if context is not None:
             context = context.astype(self.dtype)
+        dup_state = None
+        if cfg_dup and context is not None:
+            assert h.shape[0] % 2 == 0, "cfg_dup needs the CFG-doubled batch"
+            h = h[: h.shape[0] // 2]
+            dup_state = {"on": True}
         hs = []
         for layers in self.input_blocks:
-            h = self._apply_seq(layers, h, emb, context, cross_kv=cross_kv, **kwargs)
+            h = self._apply_seq(
+                layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state, **kwargs
+            )
             hs.append(h)
-        h = self._apply_seq(self.middle_block, h, emb, context, cross_kv=cross_kv, **kwargs)
+        h = self._apply_seq(
+            self.middle_block, h, emb, context, cross_kv=cross_kv, dup_state=dup_state, **kwargs
+        )
         for layers in self.output_blocks:
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = self._apply_seq(layers, h, emb, context, cross_kv=cross_kv, **kwargs)
+            skip = hs.pop()
+            if skip.shape[0] != h.shape[0]:  # skip stored before the dup point
+                skip = jnp.concatenate([skip, skip], axis=0)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = self._apply_seq(
+                layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state, **kwargs
+            )
+        if dup_state is not None and dup_state["on"]:  # no ST consumed it
+            h = jnp.concatenate([h, h], axis=0)
         h = h.astype(x.dtype)
         h = nn.silu(self.out_0(h))
         return self.out_2(h).astype(x.dtype)

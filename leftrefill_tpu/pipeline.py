@@ -141,7 +141,12 @@ def _generate(
 
         apply_fn = batch_parallel_apply(model, params, mesh, cross_kv=kv)
     else:
-        apply_fn = lambda x, t, c: model.apply_model(params, x, t, c, cross_kv=kv)
+        # cfg_dup: cond/uncond share x_noisy and c_concat here (only the text
+        # context differs), so the UNet prefix before the first cross-attn
+        # runs once at half batch (models/unet.py cfg_dup — bit-exact).
+        apply_fn = lambda x, t, c: model.apply_model(
+            params, x, t, c, cross_kv=kv, cfg_dup=use_cfg
+        )
     if sampler == "dpm++2m":
         from leftrefill_tpu.diffusion.samplers_extra import dpm_solver_pp_2m_sample
 

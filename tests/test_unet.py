@@ -147,3 +147,52 @@ def test_deep_prompt_context_slices_per_layer(tiny_unet):
     kv = model.apply(params, perturbed, method="cross_kv")
     out3 = model.apply(params, x, t, perturbed, cross_kv=kv)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(out3))
+
+
+def test_cfg_dup_bitexact(tiny_unet):
+    """cfg_dup (CFG shared-prefix): with identical batch halves of x/t and
+    differing context halves, the half-batch prefix + duplicate-at-first-
+    cross-attn path must equal the stock full-batch forward."""
+    model, params = tiny_unet
+    from tests.test_tasks import unzero_kernels
+
+    p = {"params": unzero_kernels(params["params"])}
+    k = jax.random.PRNGKey(3)
+    x1 = jax.random.normal(k, (2, 16, 32, 9))
+    x2 = jnp.concatenate([x1, x1], axis=0)
+    t2 = jnp.full((4,), 321, jnp.int32)
+    ctx2 = jax.random.normal(jax.random.fold_in(k, 1), (4, 7, 16))  # halves differ
+
+    stock = model.apply(p, x2, t2, ctx2)
+    dup = model.apply(p, x2, t2, ctx2, cfg_dup=True)
+    np.testing.assert_allclose(np.asarray(dup), np.asarray(stock), atol=1e-6, rtol=1e-6)
+    # and the halves really see different contexts (non-trivial check)
+    assert not np.allclose(np.asarray(stock[:2]), np.asarray(stock[2:]))
+
+
+def test_cfg_dup_with_kv_cache_and_deep_prompt(tiny_unet):
+    """cfg_dup composes with the conditioning KV cache and 4-D deep-prompt
+    contexts (one slice per cross-attn layer)."""
+    model, params = tiny_unet
+    from tests.test_tasks import unzero_kernels
+
+    p = {"params": unzero_kernels(params["params"])}
+    k = jax.random.PRNGKey(5)
+    x1 = jax.random.normal(k, (1, 16, 32, 9))
+    x2 = jnp.concatenate([x1, x1], axis=0)
+    t2 = jnp.full((2,), 7, jnp.int32)
+    # count cross-attn STs by probing cross_kv on a 3-D context
+    ctx3 = jax.random.normal(jax.random.fold_in(k, 2), (2, 7, 16))
+    kv = model.apply(p, ctx3, method="cross_kv")
+    n_sts = len(kv)
+    ctx4 = jax.random.normal(jax.random.fold_in(k, 3), (2, n_sts, 7, 16))
+
+    stock = model.apply(p, x2, t2, ctx4)
+    dup = model.apply(p, x2, t2, ctx4, cfg_dup=True)
+    np.testing.assert_allclose(np.asarray(dup), np.asarray(stock), atol=1e-6, rtol=1e-6)
+
+    kv4 = model.apply(p, ctx4, method="cross_kv")
+    stock_kv = model.apply(p, x2, t2, ctx4, cross_kv=kv4)
+    dup_kv = model.apply(p, x2, t2, ctx4, cross_kv=kv4, cfg_dup=True)
+    np.testing.assert_allclose(np.asarray(dup_kv), np.asarray(stock_kv), atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(stock_kv), np.asarray(stock), atol=1e-5, rtol=1e-5)
