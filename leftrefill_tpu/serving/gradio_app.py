@@ -47,6 +47,7 @@ def initialize_model(
     img_size: int = 512,
     quantized: bool = False,
     dp_devices: int = 0,
+    quant_vae: bool = False,
 ):
     """Build the serving pipeline from an experiment dir
     (ref_inpainting_gradio.py:27-51).  Enables the persistent XLA compilation
@@ -101,6 +102,21 @@ def initialize_model(
         params = dict(params)
         params["unet"] = quantize_params_like(q_struct, params["unet"])
         model = _dc.replace(model, unet=q_unet)
+    if quant_vae:
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        from leftrefill_tpu.ops.quant import quantize_params_like
+
+        q_vae = model.vae.clone(quant_decoder=True)
+        v_struct = jax.eval_shape(
+            q_vae.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, img_size // 8, img_size // 4, 3)),
+        )["params"]
+        params = dict(params)
+        params["vae"] = quantize_params_like(v_struct, params["vae"])
+        model = _dc.replace(model, vae=q_vae)
     mesh = None
     if dp_devices and dp_devices > 1:
         from leftrefill_tpu.parallel.mesh import make_mesh

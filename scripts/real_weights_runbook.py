@@ -417,8 +417,12 @@ def stage_ab(args, report, exp_dir):
 
     results = {}
     outs = {}
-    for quant in (False, True):
-        pipe = initialize_model(exp_dir, args.sd_ckpt, img_size=args.test_size, quantized=quant)
+    variants = (("bf16", False, False), ("int8", True, False), ("int8+vae8", True, True))
+    for name, quant, qvae in variants:
+        pipe = initialize_model(
+            exp_dir, args.sd_ckpt, img_size=args.test_size, quantized=quant,
+            quant_vae=qvae,
+        )
         import dataclasses
 
         pipe = dataclasses.replace(pipe, ddim_steps=4 if args.synthetic else 50)
@@ -438,17 +442,22 @@ def stage_ab(args, report, exp_dir):
             preds.append(out)
             m = jax.jit(composite_metrics)(out, image, mask)
             metrics.append({k: float(np.mean(np.asarray(v))) for k, v in m.items() if k in ("psnr", "ssim")})
-        outs["int8" if quant else "bf16"] = np.concatenate(preds)
-        results["int8" if quant else "bf16"] = {
+        outs[name] = np.concatenate(preds)
+        results[name] = {
             k: float(np.mean([mm[k] for mm in metrics])) for k in metrics[0]
         }
-    a, b = outs["bf16"], outs["int8"]
-    mse = float(((a - b) ** 2).mean())
-    cross = float(10 * np.log10(4.0 / max(mse, 1e-12)))
-    results["cross_psnr_bf16_vs_int8_db"] = cross
-    ok = np.isfinite(cross)
+    for other in ("int8", "int8+vae8"):
+        mse = float(((outs["bf16"] - outs[other]) ** 2).mean())
+        results[f"cross_psnr_bf16_vs_{other}_db"] = float(
+            10 * np.log10(4.0 / max(mse, 1e-12))
+        )
+    cross = results["cross_psnr_bf16_vs_int8_db"]
+    ok = all(
+        np.isfinite(results[f"cross_psnr_bf16_vs_{o}_db"]) for o in ("int8", "int8+vae8")
+    )
     report["ab"] = {"ok": bool(ok), **results}
-    print(f"[ab] bf16={results['bf16']} int8={results['int8']} cross_psnr={cross:.2f}dB "
+    print(f"[ab] bf16={results['bf16']} int8={results['int8']} "
+          f"int8+vae8={results['int8+vae8']} cross_psnr={cross:.2f}dB "
           f"-> {'PASS' if ok else 'FAIL'}")
     return ok
 

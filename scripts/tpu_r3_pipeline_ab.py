@@ -29,6 +29,12 @@ qparams["unet"] = quantize_params_like(q_struct, params["unet"])
 import dataclasses
 
 model_q = dataclasses.replace(model_fp, unet=q_unet)
+# third variant: int8 UNet + int8 VAE decoder (BENCH_QUANT_VAE path)
+q_vae = model_fp.vae.clone(quant_decoder=True)
+v_struct = jax.eval_shape(q_vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))["params"]
+vparams = dict(qparams)
+vparams["vae"] = quantize_params_like(v_struct, params["vae"])
+model_qv = dataclasses.replace(model_q, vae=q_vae)
 print("params ready", flush=True)
 
 with warnings.catch_warnings():
@@ -41,7 +47,11 @@ src = rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32)
 image, mask = stitch_canvas(ref, src, np.ones((1, 512, 512, 1), np.float32))
 
 outs = {}
-for name, mdl, pp in (("bf16", model_fp, params), ("int8", model_q, qparams)):
+for name, mdl, pp in (
+    ("bf16", model_fp, params),
+    ("int8", model_q, qparams),
+    ("int8+vae8", model_qv, vparams),
+):
     pipe = RefInpaintPipeline(
         model=mdl, params=pp, tokenizer=tok, special_tokens=sp,
         ddim_steps=50, guidance_scale=2.5, eta=1.0,
@@ -49,18 +59,18 @@ for name, mdl, pp in (("bf16", model_fp, params), ("int8", model_q, qparams)):
     outs[name] = np.asarray(pipe(image, mask, jax.random.PRNGKey(7)), np.float32)
     print(f"pipeline {name} done", flush=True)
 
-a, b = outs["bf16"], outs["int8"]
-mse = float(((a - b) ** 2).mean())
-psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
-# right-half only (the actual generated region)
-ar, br = a[:, :, 512:], b[:, :, 512:]
-mse_r = float(((ar - br) ** 2).mean())
-psnr_r = 10 * np.log10(4.0 / max(mse_r, 1e-12))
-print(json.dumps({
-    "pipeline_ab": {
-        "psnr_bf16_vs_int8_db": round(psnr, 2),
-        "psnr_right_half_db": round(psnr_r, 2),
-        "maxdiff": round(float(np.abs(a - b).max()), 5),
-    }
-}), flush=True)
+def _psnr(a, b):
+    mse = float(((a - b) ** 2).mean())
+    return 10 * np.log10(4.0 / max(mse, 1e-12))
+
+
+res = {}
+for pair in (("bf16", "int8"), ("bf16", "int8+vae8"), ("int8", "int8+vae8")):
+    a, b = outs[pair[0]], outs[pair[1]]
+    res[f"psnr_{pair[0]}_vs_{pair[1]}_db"] = round(_psnr(a, b), 2)
+    res[f"psnr_right_{pair[0]}_vs_{pair[1]}_db"] = round(
+        _psnr(a[:, :, 512:], b[:, :, 512:]), 2
+    )
+    res[f"maxdiff_{pair[0]}_vs_{pair[1]}"] = round(float(np.abs(a - b).max()), 5)
+print(json.dumps({"pipeline_ab": res}), flush=True)
 print("PIPELINE AB DONE", flush=True)
