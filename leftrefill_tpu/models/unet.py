@@ -395,17 +395,32 @@ class ResBlock(nn.Module):
                     x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
                     num_groups=g1, out_dtype=self.dtype,
                 )
+                # residual add fused into the out-conv epilogue (saves one
+                # HBM round-trip of h per block, openaimodel.py:273)
+                if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0":
+                    if self.out_channels == in_ch:
+                        skip = x.astype(self.dtype)
+                    else:
+                        skip = conv1x1(
+                            self.out_channels, dtype=self.dtype,
+                            name="skip_connection", quant=self.quant,
+                        )(x)
+                else:
+                    skip = None
                 if self.use_scale_shift_norm:
                     scale, shift = jnp.split(emb_out, 2, axis=-1)
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
                         scale_shift=(scale, shift), out_dtype=self.dtype,
+                        res=skip,
                     )
                 else:
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
-                        emb=emb_out, out_dtype=self.dtype,
+                        emb=emb_out, out_dtype=self.dtype, res=skip,
                     )
+                if skip is not None:
+                    return h
 
         if not fused:
             h = group_norm32(x, g1s, g1b, num_groups=32, eps=1e-5)

@@ -134,12 +134,13 @@ def _ceil128(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024)):
+def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024), res=False):
     """Block plan for the single-input kernel: (blk_ci, blk_co, ci_eff, co_eff)
     or None.  Channel counts may be zero-padded to a 128 multiple on EITHER
     side (the output is sliced back); MXU cost is unchanged by padding-to-128
     (a K/N dim of 320 occupies the same 3 tiles as 384), so the score just
-    minimizes total MXU tiles, then grid steps."""
+    minimizes total MXU tiles, then grid steps.  ``res``: account for the
+    fused-residual input block (same footprint as the output)."""
     from leftrefill_tpu.ops.conv import _chan_blocks
 
     best, best_score = None, None
@@ -151,6 +152,8 @@ def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024)):
                     w_b = 9 * bci * bco * 2
                     acc_b = h * w * bco * 4
                     o_b = h * w * bco * 2 * 2  # bf16 out, dbl-buffered
+                    if res:
+                        o_b *= 2  # + bf16 residual input, same block shape
                     if x_b + w_b + acc_b + o_b > budget:
                         continue
                     tiles = ((ci_eff // bci) * (-(-bci // 128))) * (
@@ -162,7 +165,12 @@ def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024)):
     return best
 
 
-def _conv_int8_single_kernel(xp_ref, w_ref, sc_ref, b_ref, o_ref, acc_ref):
+def _conv_int8_single_kernel(*refs, has_res: bool = False):
+    if has_res:
+        xp_ref, w_ref, sc_ref, b_ref, res_ref, o_ref, acc_ref = refs
+    else:
+        xp_ref, w_ref, sc_ref, b_ref, o_ref, acc_ref = refs
+        res_ref = None
     ci = pl.program_id(2)
 
     @pl.when(ci == 0)
@@ -184,7 +192,10 @@ def _conv_int8_single_kernel(xp_ref, w_ref, sc_ref, b_ref, o_ref, acc_ref):
     @pl.when(ci == pl.num_programs(2) - 1)
     def _write():
         r = acc_ref[...].astype(jnp.float32) * sc_ref[0] + b_ref[0].astype(jnp.float32)
-        o_ref[0] = r.reshape(h, wd, o_ref.shape[3]).astype(o_ref.dtype)
+        r = r.reshape(h, wd, o_ref.shape[3])
+        if res_ref is not None:
+            r = r + res_ref[0].astype(jnp.float32)
+        o_ref[0] = r.astype(o_ref.dtype)
 
 
 def conv3x3_int8_single(
@@ -207,11 +218,14 @@ def conv3x3_int8_single_pre(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """single-input kernel on a PRE-quantized activation."""
+    """single-input kernel on a PRE-quantized activation.  ``res`` [B,H,W,CO]
+    fuses a residual add into the epilogue (out = conv + res), skipping one
+    HBM write+read of the conv result per ResBlock (openaimodel.py:273)."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
-    plan = _plan_int8_single(h, wd, ci, co)
+    plan = _plan_int8_single(h, wd, ci, co, res=res is not None)
     assert plan is not None, "caller must check _plan_int8_single"
     bci, bco, ci_eff, co_eff = plan
 
@@ -221,46 +235,61 @@ def conv3x3_int8_single_pre(
     scales = jnp.pad(sx * w_scale.astype(jnp.float32), (0, co_eff - co)).reshape(1, co_eff)
     bias2 = jnp.pad(bias.astype(jnp.float32), (0, co_eff - co)).reshape(1, co_eff)
 
-    out = pl.pallas_call(
-        _conv_int8_single_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype),
-        grid=(b, co_eff // bco, ci_eff // bci),
-        in_specs=[
-            pl.BlockSpec(
-                (1, h + 2, wd + 2, bci),
-                lambda bi, coj, cij: (bi, 0, 0, cij),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (3, 3, bci, bco),
-                lambda bi, coj, cij: (0, 0, cij, coj),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, bco), lambda bi, coj, cij: (0, coj), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bco), lambda bi, coj, cij: (0, coj), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, wd, bco),
-            lambda bi, coj, cij: (bi, 0, 0, coj),
+    o_spec = pl.BlockSpec(
+        (1, h, wd, bco),
+        lambda bi, coj, cij: (bi, 0, 0, coj),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, h + 2, wd + 2, bci),
+            lambda bi, coj, cij: (bi, 0, 0, cij),
             memory_space=pltpu.VMEM,
         ),
+        pl.BlockSpec(
+            (3, 3, bci, bco),
+            lambda bi, coj, cij: (0, 0, cij, coj),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, bco), lambda bi, coj, cij: (0, coj), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bco), lambda bi, coj, cij: (0, coj), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, wq, scales, bias2]
+    if res is not None:
+        if co_eff != co:
+            res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, co_eff - co)))
+        in_specs.append(o_spec)
+        operands.append(res)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_int8_single_kernel, has_res=res is not None),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype),
+        grid=(b, co_eff // bco, ci_eff // bci),
+        in_specs=in_specs,
+        out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((h * wd, bco), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci_eff * co_eff,
             bytes_accessed=xq.size + wq.size + b * h * wd * co_eff * 2,
             transcendentals=0,
         ),
-    )(xp, wq, scales, bias2)
+    )(*operands)
     return out[..., :co] if co_eff != co else out
 
 
-def _plan_int8(h, w, ci, co):
+def _plan_int8(h, w, ci, co, res=False):
     from leftrefill_tpu.ops.conv import plan_conv_blocks
 
-    return plan_conv_blocks(h, w, ci, co, **_INT8_PLAN_KW)
+    kw = _INT8_PLAN_KW if not res else {**_INT8_PLAN_KW, "o_elt": 4}
+    return plan_conv_blocks(h, w, ci, co, **kw)
 
 
-def _conv_int8_kernel(x0, x1, x2, w_ref, sc_ref, b_ref, o_ref, acc_ref):
+def _conv_int8_kernel(*refs, has_res: bool = False):
+    if has_res:
+        x0, x1, x2, w_ref, sc_ref, b_ref, res_ref, o_ref, acc_ref = refs
+    else:
+        x0, x1, x2, w_ref, sc_ref, b_ref, o_ref, acc_ref = refs
+        res_ref = None
     ci = pl.program_id(3)
 
     @pl.when(ci == 0)
@@ -283,7 +312,10 @@ def _conv_int8_kernel(x0, x1, x2, w_ref, sc_ref, b_ref, o_ref, acc_ref):
     def _write():
         # dequant: sc_ref holds s_x * w_scale[c] (fp32), bias folded separately
         r = acc_ref[...].astype(jnp.float32) * sc_ref[0] + b_ref[0].astype(jnp.float32)
-        o_ref[0] = r.reshape(h, blk_w, o_ref.shape[3]).astype(o_ref.dtype)
+        r = r.reshape(h, blk_w, o_ref.shape[3])
+        if res_ref is not None:
+            r = r + res_ref[0].astype(jnp.float32)
+        o_ref[0] = r.astype(o_ref.dtype)
 
 
 def conv3x3_int8(
@@ -331,12 +363,14 @@ def conv3x3_int8_copy3_pre(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """copy3 kernel on a PRE-quantized activation (xq int8, sx scalar f32) —
-    lets the fused GN+SiLU+quantize prologue feed the conv directly."""
+    lets the fused GN+SiLU+quantize prologue feed the conv directly.
+    ``res`` [B,H,W,CO] fuses a residual add into the epilogue."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
-    plan = _plan_int8(h, wd, ci, co)
+    plan = _plan_int8(h, wd, ci, co, res=res is not None)
     assert plan is not None, "caller must check conv3x3_int8_qualifies"
     (blk_w, blk_ci, blk_co), ci_eff = plan
 
@@ -356,38 +390,44 @@ def conv3x3_int8_copy3_pre(
         lambda bi, coj, wj, cij: (bi, 0, wj, cij),
         memory_space=pltpu.VMEM,
     )
-    out = pl.pallas_call(
-        _conv_int8_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, co), out_dtype),
-        grid=grid,
-        in_specs=[
-            x_spec,
-            x_spec,
-            x_spec,
-            pl.BlockSpec(
-                (3, 3, blk_ci, blk_co),
-                lambda bi, coj, wj, cij: (0, 0, cij, coj),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, blk_co), lambda bi, coj, wj, cij: (0, coj), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, blk_co), lambda bi, coj, wj, cij: (0, coj), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, blk_w, blk_co),
-            lambda bi, coj, wj, cij: (bi, 0, wj, coj),
+    o_spec = pl.BlockSpec(
+        (1, h, blk_w, blk_co),
+        lambda bi, coj, wj, cij: (bi, 0, wj, coj),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        x_spec,
+        x_spec,
+        x_spec,
+        pl.BlockSpec(
+            (3, 3, blk_ci, blk_co),
+            lambda bi, coj, wj, cij: (0, 0, cij, coj),
             memory_space=pltpu.VMEM,
         ),
+        pl.BlockSpec(
+            (1, blk_co), lambda bi, coj, wj, cij: (0, coj), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, blk_co), lambda bi, coj, wj, cij: (0, coj), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [x0, x1, x2, wq, scales, bias2]
+    if res is not None:
+        in_specs.append(o_spec)
+        operands.append(res)
+    out = pl.pallas_call(
+        functools.partial(_conv_int8_kernel, has_res=res is not None),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, co), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((h * blk_w, blk_co), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci * co,
             bytes_accessed=3 * xq.size + wq.size + b * h * wd * co * 2,
             transcendentals=0,
         ),
-    )(x0, x1, x2, wq, scales, bias2)
+    )(*operands)
     return out
 
 
@@ -541,10 +581,13 @@ def gn_silu_conv3x3_int8(
     emb: Optional[jax.Array] = None,          # [B, C]: h+emb BEFORE the GN
     scale_shift: Optional[tuple] = None,      # (s [B,C], t [B,C]): GN(h)*(1+s)+t
     out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,          # [B,H,W,CO]: fused residual add
 ) -> jax.Array:
     """Fused GroupNorm32 + (emb-add | scale-shift) + SiLU + int8-quantize +
     3x3 int8 conv — the ResBlock conv stack (openaimodel.py:162-274) with the
-    fp32-statistics island intact.
+    fp32-statistics island intact.  ``res`` adds the ResBlock skip tensor in
+    the conv epilogue (openaimodel.py:273), saving one HBM round-trip of the
+    conv output.
 
     The emb-add folds into the statistics without materializing h+emb:
     with e per (b,c) constant over space, group mean' = mean_g(m_c + e_c) and
@@ -581,9 +624,17 @@ def gn_silu_conv3x3_int8(
 
     xq = affine_silu_quant(x, a, bb, 1.0 / scale)
     co = wq.shape[-1]
+    want_res = res is not None
+    if _plan_int8(h, w, c, co, res=want_res) is not None:
+        return conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype, res=res)
+    if _plan_int8_single(h, w, c, co, res=want_res) is not None:
+        return conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype, res=res)
+    # no plan fits with the residual block resident: fall back to a separate add
     if _plan_int8(h, w, c, co) is not None:
-        return conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype)
-    return conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype)
+        out = conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype)
+    else:
+        out = conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype)
+    return out + res.astype(out.dtype) if want_res else out
 
 
 def gn_silu_conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int, num_groups: int = 32) -> bool:

@@ -392,3 +392,104 @@ def test_quant_downsample_close_to_fp(monkeypatch):
         assert q_out.shape == fp_out.shape
         rel = np.abs(q_out - fp_out).max() / np.abs(fp_out).max()
         assert rel < 0.05, (flag, rel)
+
+
+@pytest.mark.parametrize("kind", ["copy3", "single", "single_copad"])
+def test_int8_conv_res_epilogue_matches_separate_add(kind):
+    """The fused-residual conv epilogue (res=...) == conv then a separate add,
+    for both kernels, incl. the output-channel-padded single plan."""
+    from leftrefill_tpu.ops.quant import (
+        _plan_int8,
+        _plan_int8_single,
+        conv3x3_int8_copy3_pre,
+        conv3x3_int8_single_pre,
+    )
+
+    co = 96 if kind == "single_copad" else 128
+    b, h, w, c = 1, 16, 32, 128
+    ks = jax.random.split(jax.random.PRNGKey(31), 3)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    wt = jax.random.normal(ks[1], (3, 3, c, co), jnp.float32) * 0.05
+    res = jax.random.normal(ks[2], (b, h, w, co), jnp.float32)
+    bias = jnp.zeros((co,), jnp.float32)
+    wq, ws = quantize_weight(wt)
+    xq, sx = quantize_activation(x)
+
+    pre = conv3x3_int8_copy3_pre if kind == "copy3" else conv3x3_int8_single_pre
+    plan = (
+        _plan_int8(h, w, c, co, res=True)
+        if kind == "copy3"
+        else _plan_int8_single(h, w, c, co, res=True)
+    )
+    assert plan is not None
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(pre(xq, sx, wq, ws, bias, jnp.float32))
+        fused = np.asarray(pre(xq, sx, wq, ws, bias, jnp.float32, res=res))
+    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
+
+
+def test_gn_silu_conv_res_matches_separate_add():
+    """gn_silu_conv3x3_int8(res=skip) == the same call plus a separate add."""
+    from leftrefill_tpu.ops.quant import gn_silu_conv3x3_int8
+
+    b, h, w, c, co = 2, 16, 32, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(32), 6)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[2], (c,), jnp.float32)
+    wt = jax.random.normal(ks[3], (3, 3, c, co), jnp.float32) * 0.05
+    bias = jax.random.normal(ks[4], (co,), jnp.float32) * 0.1
+    emb = jax.random.normal(ks[5], (b, c), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(33), (b, h, w, co), jnp.float32)
+    wq, ws = quantize_weight(wt)
+
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(
+            gn_silu_conv3x3_int8(
+                x, gamma, beta, wq, ws, bias, num_groups=32, emb=emb,
+                out_dtype=jnp.float32,
+            )
+        )
+        fused = np.asarray(
+            gn_silu_conv3x3_int8(
+                x, gamma, beta, wq, ws, bias, num_groups=32, emb=emb,
+                out_dtype=jnp.float32, res=res,
+            )
+        )
+    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("channels", [(128, 128), (128, 256)])
+def test_resblock_fused_resadd_matches_unfused(monkeypatch, channels):
+    """ResBlock with the fused-residual epilogue (LEFTREFILL_FUSED_RESADD=1)
+    == the same block with a separate skip+h add, on the Pallas int8 path
+    (on_tpu monkeypatched, interpret mode), for identity and 1x1-conv skips.
+    The param tree must be identical so checkpoints stay interchangeable."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import ResBlock
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    in_ch, out_ch = channels
+    b, h, w = 1, 16, 32
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(b, h, w, in_ch).astype(np.float32), jnp.bfloat16)
+    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
+
+    block = ResBlock(out_channels=out_ch, dtype=jnp.bfloat16, quant=True)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("LEFTREFILL_FUSED_RESADD", "1")
+        params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+        # quantize the fp32 int8-site kernels the way quantize_params_like does
+        from leftrefill_tpu.ops.quant import quantize_params_like
+
+        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), x, emb)["params"]
+        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
+        fused = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
+
+        monkeypatch.setenv("LEFTREFILL_FUSED_RESADD", "0")
+        p2 = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
+        unfused = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
+
+    rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
+    assert rel < 0.03, rel  # bf16 epilogue rounding only
