@@ -107,7 +107,7 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
             x = xs.reshape(bv, hw, c)
 
         x = self.attn2(self.norm2(x), context, kv=cross_kv) + x
-        x = self.ff(self.norm3(x)) + x
+        x = self.ff(self.norm3(x), res=x)
         return x
 
 

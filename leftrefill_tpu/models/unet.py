@@ -495,7 +495,9 @@ class GEGLUFeedForward(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, res: Optional[jax.Array] = None) -> jax.Array:
+        """``res``: residual tensor (the transformer block's ``+ x``) — fused
+        into the int8 kernel epilogue when available, added here otherwise."""
         from leftrefill_tpu.ops.mlp import (
             geglu_fused,
             geglu_fused_int8,
@@ -520,12 +522,23 @@ class GEGLUFeedForward(nn.Module):
             r, din, inner, self.dim, int8
         ):
             if int8:
-                out = geglu_fused_int8(
-                    x2.astype(self.dtype), k1, s1, b1, k2, s2, b2, out_dtype=self.dtype
+                # A/B gate for the fused-residual epilogue (scripts/tpu_r3_resadd_ab.py)
+                fuse_res = (
+                    res is not None
+                    and os.environ.get("LEFTREFILL_FUSED_FFRES", "1") != "0"
                 )
-            else:
-                out = geglu_fused(x2.astype(self.dtype), k1, b1, k2, b2)
-            return out.reshape(*x.shape[:-1], self.dim)
+                out = geglu_fused_int8(
+                    x2.astype(self.dtype), k1, s1, b1, k2, s2, b2,
+                    out_dtype=self.dtype,
+                    res=res.reshape(r, self.dim) if fuse_res else None,
+                )
+                out = out.reshape(*x.shape[:-1], self.dim)
+                if res is not None and not fuse_res:
+                    out = out + res.astype(out.dtype)
+                return out
+            out = geglu_fused(x2.astype(self.dtype), k1, b1, k2, b2)
+            out = out.reshape(*x.shape[:-1], self.dim)
+            return out if res is None else out + res.astype(out.dtype)
 
         # fallback: QDense-equivalent math (CPU tests, odd shapes, dequant)
         def dense(h, k, b, s):
@@ -541,8 +554,8 @@ class GEGLUFeedForward(nn.Module):
         val, gate = jnp.split(xg, 2, axis=-1)
         # torch F.gelu is the exact erf gelu
         h = val * nn.gelu(gate.astype(jnp.float32), approximate=False).astype(val.dtype)
-        out = dense(h, k2, b2, s2)
-        return out.reshape(*x.shape[:-1], self.dim)
+        out = dense(h, k2, b2, s2).reshape(*x.shape[:-1], self.dim)
+        return out if res is None else out + res.astype(out.dtype)
 
 
 class CrossAttention(nn.Module):
@@ -695,7 +708,7 @@ class BasicTransformerBlock(nn.Module):
         if dup_to_context:
             x = jnp.concatenate([x, x], axis=0)
         x = self.attn2(self.norm2(x), context, return_attn=return_attn, kv=cross_kv) + x
-        x = self.ff(self.norm3(x)) + x
+        x = self.ff(self.norm3(x), res=x)
         return x
 
 

@@ -44,8 +44,10 @@ def set_geglu_fused(on: bool) -> None:
     _GEGLU_FUSED = bool(on)
 
 
-def _plan(r: int, din: int, inner: int, dout: int, x_elt: int, w_elt: int):
-    """(blk_r, ci) under the VMEM budget, or None."""
+def _plan(r: int, din: int, inner: int, dout: int, x_elt: int, w_elt: int,
+          res: bool = False):
+    """(blk_r, ci) under the VMEM budget, or None.  ``res``: account for the
+    fused-residual input block (same footprint as the output)."""
     best = None
     for blk_r in (512, 256, 128):
         if r % blk_r:
@@ -57,7 +59,7 @@ def _plan(r: int, din: int, inner: int, dout: int, x_elt: int, w_elt: int):
             w1_b = 2 * din * ci * w_elt * 2
             w2_b = ci * dout * w_elt * 2
             acc_b = blk_r * dout * 4
-            o_b = blk_r * dout * 2 * 2
+            o_b = blk_r * dout * 2 * 2 * (2 if res else 1)
             inter_b = 3 * blk_r * ci * 4
             if x_b + w1_b + w2_b + acc_b + o_b + inter_b <= _BUDGET:
                 cand = (blk_r, ci)
@@ -188,9 +190,16 @@ def _geglu_bwd(res, g):
 geglu_fused.defvjp(_geglu_fwd, _geglu_bwd)
 
 
-def _geglu_int8_kernel(x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
-                       b1v_ref, b1g_ref, w2_ref, s2_ref, b2_ref,
-                       o_ref, acc_ref, *, w2_bf16: bool):
+def _geglu_int8_kernel(*refs, w2_bf16: bool, has_res: bool = False):
+    if has_res:
+        (x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
+         b1v_ref, b1g_ref, w2_ref, s2_ref, b2_ref, res_ref,
+         o_ref, acc_ref) = refs
+    else:
+        (x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
+         b1v_ref, b1g_ref, w2_ref, s2_ref, b2_ref,
+         o_ref, acc_ref) = refs
+        res_ref = None
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -234,9 +243,12 @@ def _geglu_int8_kernel(x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
     @pl.when(c == pl.num_programs(1) - 1)
     def _write():
         if w2_bf16:
-            o_ref[...] = (acc_ref[...] * s2_ref[0] + b2_ref[0]).astype(o_ref.dtype)
+            r = acc_ref[...] * s2_ref[0] + b2_ref[0]
         else:
-            o_ref[...] = (acc_ref[...] + b2_ref[0]).astype(o_ref.dtype)
+            r = acc_ref[...] + b2_ref[0]
+        if res_ref is not None:
+            r = r + res_ref[...].astype(jnp.float32)
+        o_ref[...] = r.astype(o_ref.dtype)
 
 
 def geglu_fused_int8(
@@ -248,12 +260,18 @@ def geglu_fused_int8(
     w2_scale: jax.Array, # [dout]
     b2: jax.Array,
     out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,  # [R, dout]: fused residual add
 ) -> jax.Array:
     from leftrefill_tpu.ops.quant import quantize_activation_rowwise
 
     r, din = x.shape
     inner, dout = w2q.shape
-    plan = _plan(r, din, inner, dout, x_elt=1, w_elt=1)
+    plan = _plan(r, din, inner, dout, x_elt=1, w_elt=1, res=res is not None)
+    if plan is None and res is not None:
+        # no room for the residual block resident: unfused add
+        return geglu_fused_int8(
+            x, w1q, w1_scale, b1, w2q, w2_scale, b2, out_dtype
+        ) + res.astype(out_dtype)
     assert plan is not None, "caller must check geglu_fused_qualifies"
     blk_r, ci = plan
     nc = inner // ci
@@ -271,31 +289,39 @@ def geglu_fused_int8(
     # quality knob for accuracy-sensitive serving.
     w2_bf16 = os.environ.get("LEFTREFILL_GEGLU_INT8_W2", "int8") == "bf16"
 
+    o_spec = pl.BlockSpec((blk_r, dout), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((blk_r, din), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((din, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((din, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ci, dout), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xq, sx, w1q, s1, w1q, s1, b1f, b1f, w2q, s2, b2f]
+    if res is not None:
+        in_specs.append(o_spec)
+        operands.append(res)
     return pl.pallas_call(
-        functools.partial(_geglu_int8_kernel, w2_bf16=w2_bf16),
+        functools.partial(
+            _geglu_int8_kernel, w2_bf16=w2_bf16, has_res=res is not None
+        ),
         out_shape=jax.ShapeDtypeStruct((r, dout), out_dtype),
         grid=(r // blk_r, nc),
-        in_specs=[
-            pl.BlockSpec((blk_r, din), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_r, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((din, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((din, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, dout), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk_r, dout), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((blk_r, dout), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * r * din * 2 * inner + 2 * r * inner * dout,
             bytes_accessed=xq.size + w1q.size + w2q.size + r * dout * 2,
             transcendentals=r * inner,
         ),
-    )(xq, sx, w1q, s1, w1q, s1, b1f, b1f, w2q, s2, b2f)
+    )(*operands)
 
 
 def geglu_fused_qualifies(r: int, din: int, inner: int, dout: int, int8: bool) -> bool:

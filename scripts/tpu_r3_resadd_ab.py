@@ -50,12 +50,18 @@ def fwd(c, p, tt, ctx):
 
 
 outs = {}
-for flag in ("0", "1"):
-    os.environ["LEFTREFILL_FUSED_RESADD"] = flag
+for conv_flag, ff_flag in (("0", "0"), ("1", "0"), ("1", "1")):
+    os.environ["LEFTREFILL_FUSED_RESADD"] = conv_flag
+    os.environ["LEFTREFILL_FUSED_FFRES"] = ff_flag
     t = timed(fwd, xin, params, tt, ctx)
-    outs[flag] = t
-    print(f"UNet fwd b2 int8 RESADD={flag}: {t*1e3:.2f} ms", flush=True)
+    outs[(conv_flag, ff_flag)] = t
+    print(
+        f"UNet fwd b2 int8 RESADD={conv_flag} FFRES={ff_flag}: {t*1e3:.2f} ms",
+        flush=True,
+    )
 
-d = (outs["0"] - outs["1"]) * 1e3
-print(f"fused-residual saving: {d:+.2f} ms/step", flush=True)
+d1 = (outs[("0", "0")] - outs[("1", "0")]) * 1e3
+d2 = (outs[("1", "0")] - outs[("1", "1")]) * 1e3
+print(f"conv fused-residual saving: {d1:+.2f} ms/step", flush=True)
+print(f"ff fused-residual saving:   {d2:+.2f} ms/step", flush=True)
 print("RESADD AB DONE", flush=True)

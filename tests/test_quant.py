@@ -493,3 +493,31 @@ def test_resblock_fused_resadd_matches_unfused(monkeypatch, channels):
 
     rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
     assert rel < 0.03, rel  # bf16 epilogue rounding only
+
+
+def test_geglu_int8_res_matches_separate_add():
+    """geglu_fused_int8(res=...) == the same call plus a separate add."""
+    from leftrefill_tpu.ops.mlp import _plan, geglu_fused_int8
+
+    r, din, mult = 256, 128, 4
+    inner, dout = din * mult, din
+    assert _plan(r, din, inner, dout, x_elt=1, w_elt=1, res=True) is not None
+    ks = jax.random.split(jax.random.PRNGKey(13), 6)
+    x = jax.random.normal(ks[0], (r, din), jnp.float32)
+    w1 = jax.random.normal(ks[1], (din, 2 * inner), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, dout), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (dout,), jnp.float32) * 0.1
+    res = jax.random.normal(ks[5], (r, dout), jnp.float32)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(
+            geglu_fused_int8(x, w1q, s1, b1, w2q, s2, b2, out_dtype=jnp.float32)
+        )
+        fused = np.asarray(
+            geglu_fused_int8(
+                x, w1q, s1, b1, w2q, s2, b2, out_dtype=jnp.float32, res=res
+            )
+        )
+    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
