@@ -536,6 +536,14 @@ class GEGLUFeedForward(nn.Module):
                 if res is not None and not fuse_res:
                     out = out + res.astype(out.dtype)
                 return out
+            if res is not None and os.environ.get("LEFTREFILL_FUSED_FFRES", "1") != "0":
+                from leftrefill_tpu.ops.mlp import geglu_fused_res
+
+                out = geglu_fused_res(
+                    x2.astype(self.dtype), k1, b1, k2, b2,
+                    res.reshape(r, self.dim).astype(self.dtype),
+                )
+                return out.reshape(*x.shape[:-1], self.dim)
             out = geglu_fused(x2.astype(self.dtype), k1, b1, k2, b2)
             out = out.reshape(*x.shape[:-1], self.dim)
             return out if res is None else out + res.astype(out.dtype)

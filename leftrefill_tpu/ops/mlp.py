@@ -85,8 +85,14 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 
-def _geglu_kernel(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
-                  o_ref, acc_ref):
+def _geglu_kernel(*refs, has_res: bool = False):
+    if has_res:
+        (x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref, res_ref,
+         o_ref, acc_ref) = refs
+    else:
+        (x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
+         o_ref, acc_ref) = refs
+        res_ref = None
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -111,7 +117,10 @@ def _geglu_kernel(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _write():
-        o_ref[...] = (acc_ref[...] + b2_ref[0]).astype(o_ref.dtype)
+        r = acc_ref[...] + b2_ref[0]
+        if res_ref is not None:
+            r = r + res_ref[...].astype(jnp.float32)
+        o_ref[...] = r.astype(o_ref.dtype)
 
 
 def _geglu_pallas(
@@ -121,10 +130,13 @@ def _geglu_pallas(
     w2: jax.Array,  # [inner, dout]
     b2: jax.Array,  # [dout]
     out_dtype,
+    res: Optional[jax.Array] = None,  # [R, dout]: fused residual add
 ) -> jax.Array:
     r, din = x.shape
     inner, dout = w2.shape
-    plan = _plan(r, din, inner, dout, x_elt=2, w_elt=2)
+    plan = _plan(r, din, inner, dout, x_elt=2, w_elt=2, res=res is not None)
+    if plan is None and res is not None:
+        return _geglu_pallas(x, w1, b1, w2, b2, out_dtype) + res.astype(out_dtype)
     assert plan is not None, "caller must check geglu_fused_qualifies"
     blk_r, ci = plan
     nc = inner // ci
@@ -135,27 +147,33 @@ def _geglu_pallas(
     b1f = b1.astype(jnp.float32).reshape(1, 2 * inner)
     b2f = b2.astype(jnp.float32).reshape(1, dout)
 
+    o_spec = pl.BlockSpec((blk_r, dout), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((blk_r, din), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((din, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((din, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ci, dout), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, w1, w1, b1f, b1f, w2, b2f]
+    if res is not None:
+        in_specs.append(o_spec)
+        operands.append(res)
     return pl.pallas_call(
-        _geglu_kernel,
+        functools.partial(_geglu_kernel, has_res=res is not None),
         out_shape=jax.ShapeDtypeStruct((r, dout), out_dtype),
         grid=(r // blk_r, nc),
-        in_specs=[
-            pl.BlockSpec((blk_r, din), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((din, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((din, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda i, c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda i, c, nc=nc: (0, c + nc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, dout), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk_r, dout), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((blk_r, dout), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * r * din * 2 * inner + 2 * r * inner * dout,
             bytes_accessed=x.size * 2 + w1.size * 2 + w2.size * 2 + r * dout * 2,
             transcendentals=r * inner,
         ),
-    )(x, w1, w1, b1f, b1f, w2, b2f)
+    )(*operands)
 
 
 def _geglu_xla_math(x, w1, b1, w2, b2):
@@ -188,6 +206,27 @@ def _geglu_bwd(res, g):
 
 
 geglu_fused.defvjp(_geglu_fwd, _geglu_bwd)
+
+
+@jax.custom_vjp
+def geglu_fused_res(x, w1, b1, w2, b2, res):
+    """geglu_fused with the transformer residual (+ res) fused into the kernel
+    epilogue; d(res) = upstream cotangent, so training differentiates through
+    it exactly like the unfused ``ff(x) + res``."""
+    return _geglu_pallas(x, w1, b1, w2, b2, out_dtype=x.dtype, res=res)
+
+
+def _geglu_res_fwd(x, w1, b1, w2, b2, res):
+    return geglu_fused_res(x, w1, b1, w2, b2, res), (x, w1, b1, w2, b2, res)
+
+
+def _geglu_res_bwd(saved, g):
+    x, w1, b1, w2, b2, res = saved
+    _, vjp = jax.vjp(_geglu_xla_math, x, w1, b1, w2, b2)
+    return (*vjp(g.astype(x.dtype)), g.astype(res.dtype))
+
+
+geglu_fused_res.defvjp(_geglu_res_fwd, _geglu_res_bwd)
 
 
 def _geglu_int8_kernel(*refs, w2_bf16: bool, has_res: bool = False):

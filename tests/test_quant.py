@@ -521,3 +521,40 @@ def test_geglu_int8_res_matches_separate_add():
             )
         )
     np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
+
+
+def test_geglu_fused_res_matches_and_differentiates():
+    """bf16 geglu_fused_res == geglu_fused + res; custom VJP passes the
+    residual cotangent straight through (training path of the fused FF)."""
+    from leftrefill_tpu.ops.mlp import _plan, geglu_fused, geglu_fused_res
+
+    r, din, mult = 256, 128, 4
+    inner, dout = din * mult, din
+    assert _plan(r, din, inner, dout, x_elt=2, w_elt=2, res=True) is not None
+    ks = jax.random.split(jax.random.PRNGKey(14), 6)
+    x = jax.random.normal(ks[0], (r, din), jnp.float32)
+    w1 = jax.random.normal(ks[1], (din, 2 * inner), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, dout), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (dout,), jnp.float32) * 0.1
+    res = jax.random.normal(ks[5], (r, dout), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(geglu_fused(x, w1, b1, w2, b2))
+        fused = np.asarray(geglu_fused_res(x, w1, b1, w2, b2, res))
+    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
+
+    with pltpu.force_tpu_interpret_mode():
+        gx, gres = jax.grad(
+            lambda xx, rr: jnp.sum(geglu_fused_res(xx, w1, b1, w2, b2, rr) ** 2),
+            argnums=(0, 1),
+        )(x, res)
+    with pltpu.force_tpu_interpret_mode():
+        gx_ref, gres_ref = jax.grad(
+            lambda xx, rr: jnp.sum((geglu_fused(xx, w1, b1, w2, b2) + rr) ** 2),
+            argnums=(0, 1),
+        )(x, res)
+    np.testing.assert_allclose(np.asarray(gres), np.asarray(gres_ref), atol=1e-4, rtol=1e-4)
+    rel = np.abs(np.asarray(gx) - np.asarray(gx_ref)).max() / max(
+        np.abs(np.asarray(gx_ref)).max(), 1e-6
+    )
+    assert rel < 0.05, rel
