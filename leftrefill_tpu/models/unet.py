@@ -75,8 +75,12 @@ class Conv3x3(nn.Module):
         )
 
 
-def conv3x3_forward(x, kernel, bias, scale, dtype, quant, strides: int = 1) -> jax.Array:
-    """Conv3x3's dispatch as a function (shared with the fused ResBlock)."""
+def conv3x3_forward(
+    x, kernel, bias, scale, dtype, quant, strides: int = 1, res=None
+) -> jax.Array:
+    """Conv3x3's dispatch as a function (shared with the fused ResBlock).
+    ``res`` [B,H,W,CO]: residual added to the output — fused into the Pallas
+    epilogue where a res-resident plan fits, a plain XLA add otherwise."""
     from leftrefill_tpu.ops.conv import conv3x3_apply
 
     ci = x.shape[-1]
@@ -92,13 +96,15 @@ def conv3x3_forward(x, kernel, bias, scale, dtype, quant, strides: int = 1) -> j
         b, h, w, _ = x.shape
         if strides == 1 and conv3x3_int8_qualifies(h, w, ci, features):
             return conv3x3_int8(
-                x.astype(dtype), kernel, scale, bias.astype(dtype), out_dtype=dtype
+                x.astype(dtype), kernel, scale, bias.astype(dtype), out_dtype=dtype,
+                res=res,
             )
         if int8_xla_conv_enabled():
-            return conv_int8_xla(
+            out = conv_int8_xla(
                 x.astype(dtype), kernel, scale, bias,
                 strides=(strides, strides), out_dtype=dtype,
             )
+            return out if res is None else out + res.astype(out.dtype)
         # dequantize: exact inverse of the per-channel quantization
         kernel = kernel.astype(jnp.float32) * scale[None, None, None, :]
     x = x.astype(dtype)
@@ -107,8 +113,9 @@ def conv3x3_forward(x, kernel, bias, scale, dtype, quant, strides: int = 1) -> j
             x, kernel.astype(dtype), window_strides=(strides, strides),
             padding=PAD1, dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + bias.astype(dtype)
-    return conv3x3_apply(x, kernel.astype(dtype), bias.astype(dtype))
+        y = y + bias.astype(dtype)
+        return y if res is None else y + res.astype(y.dtype)
+    return conv3x3_apply(x, kernel.astype(dtype), bias.astype(dtype), res=res)
 
 
 class QDense(nn.Module):
@@ -441,8 +448,22 @@ class ResBlock(nn.Module):
                 h = h + eo[:, None, None, :]
                 h = group_norm32(h, g2s, g2b, num_groups=32, eps=1e-5)
             h = nn.silu(h)
+            if self.out_channels == in_ch:
+                skip = x
+            else:
+                skip = conv1x1(
+                    self.out_channels, dtype=self.dtype, name="skip_connection",
+                    quant=self.quant,
+                )(x)
+            if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0" and x.ndim == 4:
+                # residual fused into the out-conv epilogue where a plan fits
+                return conv3x3_forward(
+                    h, k2, c2b, s2, self.dtype, self.quant, res=skip
+                )
             h = conv3x3_forward(h, k2, c2b, s2, self.dtype, self.quant)
+            return skip.astype(h.dtype) + h
 
+        # fused prologue path without the fused residual (RESADD=0)
         if self.out_channels == in_ch:
             skip = x
         else:
@@ -450,7 +471,7 @@ class ResBlock(nn.Module):
                 self.out_channels, dtype=self.dtype, name="skip_connection",
                 quant=self.quant,
             )(x)
-        return skip + h
+        return skip.astype(h.dtype) + h
 
 
 class _DenseParams(nn.Module):

@@ -178,7 +178,12 @@ def _resolve_tap_mode(h: int, w: int) -> str:
     return "concat" if h * w <= 256 else "sum9"
 
 
-def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref, *, tap_mode):
+def _conv_kernel(*refs, tap_mode, has_res: bool = False):
+    if has_res:
+        x0_ref, x1_ref, x2_ref, w_ref, b_ref, res_ref, o_ref, acc_ref = refs
+    else:
+        x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref = refs
+        res_ref = None
     ci = pl.program_id(3)
 
     @pl.when(ci == 0)
@@ -217,17 +222,25 @@ def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref, *, tap_mo
     @pl.when(ci == pl.num_programs(3) - 1)
     def _write():
         r = acc_ref[...] + b_ref[0].astype(jnp.float32)[None, :]
-        o_ref[0] = r.reshape(h, blk_w, o_ref.shape[3]).astype(o_ref.dtype)
+        r = r.reshape(h, blk_w, o_ref.shape[3])
+        if res_ref is not None:
+            r = r + res_ref[0].astype(jnp.float32)
+        o_ref[0] = r.astype(o_ref.dtype)
 
 
-def _plan(h: int, w: int, ci: int, co: int) -> Optional[tuple[tuple[int, int, int], int]]:
-    return plan_conv_blocks(h, w, ci, co, **_BF16_PLAN_KW)
+def _plan(
+    h: int, w: int, ci: int, co: int, res: bool = False
+) -> Optional[tuple[tuple[int, int, int], int]]:
+    kw = _BF16_PLAN_KW if not res else {**_BF16_PLAN_KW, "o_elt": 4}
+    return plan_conv_blocks(h, w, ci, co, **kw)
 
 
-def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+def _conv3x3_pallas(
+    x: jax.Array, w: jax.Array, bias: jax.Array, res: Optional[jax.Array] = None
+) -> jax.Array:
     b, h, wd, ci = x.shape
     co = w.shape[-1]
-    plan = _plan(h, wd, ci, co)
+    plan = _plan(h, wd, ci, co, res=res is not None)
     assert plan is not None, "caller must check conv3x3_qualifies"
     (blk_w, blk_ci, blk_co), ci_eff = plan
 
@@ -251,35 +264,43 @@ def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
         lambda bi, coj, wj, cij: (bi, 0, wj, cij),
         memory_space=pltpu.VMEM,
     )
-    out = pl.pallas_call(
-        functools.partial(_conv_kernel, tap_mode=_resolve_tap_mode(h, wd)),
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, co), x.dtype),
-        grid=grid,
-        in_specs=[
-            x_spec,
-            x_spec,
-            x_spec,
-            pl.BlockSpec(
-                (3, 3, blk_ci, blk_co),
-                lambda bi, coj, wj, cij: (0, 0, cij, coj),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, blk_co), lambda bi, coj, wj, cij: (0, coj), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, blk_w, blk_co),
-            lambda bi, coj, wj, cij: (bi, 0, wj, coj),
+    o_spec = pl.BlockSpec(
+        (1, h, blk_w, blk_co),
+        lambda bi, coj, wj, cij: (bi, 0, wj, coj),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        x_spec,
+        x_spec,
+        x_spec,
+        pl.BlockSpec(
+            (3, 3, blk_ci, blk_co),
+            lambda bi, coj, wj, cij: (0, 0, cij, coj),
             memory_space=pltpu.VMEM,
         ),
+        pl.BlockSpec(
+            (1, blk_co), lambda bi, coj, wj, cij: (0, coj), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [x0, x1, x2, w, bias2]
+    if res is not None:
+        in_specs.append(o_spec)
+        operands.append(res)
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_kernel, tap_mode=_resolve_tap_mode(h, wd), has_res=res is not None
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, co), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((h * blk_w, blk_co), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci * co,
             bytes_accessed=(3 * x.size + w.size + b * h * wd * co) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x0, x1, x2, w, bias2)
+    )(*operands)
     return out
 
 
@@ -313,6 +334,26 @@ def _bwd(res, g):
 conv3x3_op.defvjp(_fwd, _bwd)
 
 
+@jax.custom_vjp
+def conv3x3_res_op(x: jax.Array, w: jax.Array, bias: jax.Array, res: jax.Array):
+    """conv3x3_op with the ResBlock residual (+ res) fused into the kernel
+    epilogue (openaimodel.py:273); d(res) = upstream cotangent."""
+    return _conv3x3_pallas(x, w, bias, res=res)
+
+
+def _res_fwd(x, w, bias, res):
+    return _conv3x3_pallas(x, w, bias, res=res), (x, w, bias)
+
+
+def _res_bwd(saved, g):
+    x, w, bias = saved
+    _, vjp = jax.vjp(_xla_conv, x, w, bias)
+    return (*vjp(g), g)
+
+
+conv3x3_res_op.defvjp(_res_fwd, _res_bwd)
+
+
 def conv3x3_qualifies(h: int, w: int, ci: int, co: int) -> bool:
     return (
         on_tpu()
@@ -324,10 +365,16 @@ def conv3x3_qualifies(h: int, w: int, ci: int, co: int) -> bool:
 
 
 def conv3x3_apply(
-    x: jax.Array, w: jax.Array, bias: jax.Array, impl: ConvImpl | None = None
+    x: jax.Array,
+    w: jax.Array,
+    bias: jax.Array,
+    impl: ConvImpl | None = None,
+    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatcher: Pallas kernel on TPU when the shape qualifies, else the
-    XLA conv (CPU tests, odd shapes, tiny channels)."""
+    XLA conv (CPU tests, odd shapes, tiny channels).  ``res`` [B,H,W,CO] is a
+    residual added to the conv output — fused into the Pallas epilogue when
+    the res-resident plan fits, a plain XLA add otherwise."""
     use = impl or _DEFAULT_IMPL
     b, h, wd, ci = x.shape
     co = w.shape[-1]
@@ -338,5 +385,9 @@ def conv3x3_apply(
     if use in ("auto", "pallas") and conv3x3_qualifies(h, wd, ci, co):
         # "pallas" also only *prefers* the kernel: shapes with no aligned
         # block plan (e.g. the 9-channel stem) always take the XLA conv
-        return conv3x3_op(x, w, bias)
-    return _xla_conv(x, w, bias)
+        if res is not None and _plan(h, wd, ci, co, res=True) is not None:
+            return conv3x3_res_op(x, w, bias, res.astype(x.dtype))
+        out = conv3x3_op(x, w, bias)
+    else:
+        out = _xla_conv(x, w, bias)
+    return out if res is None else out + res.astype(out.dtype)

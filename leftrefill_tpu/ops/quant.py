@@ -204,11 +204,12 @@ def conv3x3_int8_single(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-input variant of conv3x3_int8 (see module comment).  Caller must
     check the plan exists."""
     xq, sx = quantize_activation(x)
-    return conv3x3_int8_single_pre(xq, sx, wq, w_scale, bias, out_dtype)
+    return conv3x3_int8_single_pre(xq, sx, wq, w_scale, bias, out_dtype, res=res)
 
 
 def conv3x3_int8_single_pre(
@@ -324,12 +325,16 @@ def conv3x3_int8(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """3x3 stride-1 pad-1 conv with int8 weights (HWIO) + dynamic int8
     activations; NHWC.  Dispatches single-input vs 3-copy per shape (see the
-    kernel section comment).  Caller must check conv3x3_int8_qualifies."""
+    kernel section comment).  Caller must check conv3x3_int8_qualifies.
+    ``res`` fuses a residual add into the kernel epilogue (plain add when no
+    res-resident plan fits)."""
     b, h, wd, ci = x.shape
     co = wq.shape[-1]
+    want_res = res is not None
     mode = _INT8_CONV_MODE
     if mode == "auto":
         # measured on v5e (scripts/tpu_r3_convshapes.py, /tmp logs r3): with
@@ -338,10 +343,14 @@ def conv3x3_int8(
         # vs 0.431 ms — the r2 probe's +19% for single timed copy3 WITH
         # quantization but single WITHOUT it).  single's role is the small
         # 8x16 levels where copy3 has no aligned column plan.
-        mode = "copy3" if _plan_int8(h, wd, ci, co) is not None else "single"
-    if mode == "single" and _plan_int8_single(h, wd, ci, co) is not None:
-        return conv3x3_int8_single(x, wq, w_scale, bias, out_dtype)
-    return conv3x3_int8_copy3(x, wq, w_scale, bias, out_dtype)
+        mode = "copy3" if _plan_int8(h, wd, ci, co, res=want_res) is not None else "single"
+    if mode == "single" and _plan_int8_single(h, wd, ci, co, res=want_res) is not None:
+        return conv3x3_int8_single(x, wq, w_scale, bias, out_dtype, res=res)
+    if want_res and _plan_int8(h, wd, ci, co, res=True) is None:
+        # no res-resident plan fits: unfused add over the plain dispatch
+        out = conv3x3_int8(x, wq, w_scale, bias, out_dtype)
+        return out + res.astype(out.dtype)
+    return conv3x3_int8_copy3(x, wq, w_scale, bias, out_dtype, res=res)
 
 
 def conv3x3_int8_copy3(
@@ -350,10 +359,11 @@ def conv3x3_int8_copy3(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """3-copy int8 conv (r2 kernel): three column-shifted input copies."""
     xq, sx = quantize_activation(x)
-    return conv3x3_int8_copy3_pre(xq, sx, wq, w_scale, bias, out_dtype)
+    return conv3x3_int8_copy3_pre(xq, sx, wq, w_scale, bias, out_dtype, res=res)
 
 
 def conv3x3_int8_copy3_pre(

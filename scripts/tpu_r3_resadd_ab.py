@@ -64,4 +64,38 @@ d1 = (outs[("0", "0")] - outs[("1", "0")]) * 1e3
 d2 = (outs[("1", "0")] - outs[("1", "1")]) * 1e3
 print(f"conv fused-residual saving: {d1:+.2f} ms/step", flush=True)
 print(f"ff fused-residual saving:   {d2:+.2f} ms/step", flush=True)
+
+# bf16 model: same A/B for the conv3x3_res_op / bf16 GEGLU-res variants
+mb = unet_mod.UNetModel(dtype=jnp.bfloat16, quant=False)
+pb = jax.tree_util.tree_map(
+    lambda s: (jnp.ones(s.shape, jnp.float32) * 0.002).astype(s.dtype),
+    jax.eval_shape(mb.init, jax.random.PRNGKey(7), xin, tt, ctx),
+)
+
+
+def fwd_b(c, p, tt, ctx):
+    o = mb.apply(p, c[..., :9], tt, ctx)
+    return jnp.concatenate([o, o, c[..., :1]], axis=-1) * 1e-3 + c * 0.999
+
+
+outs_b = {}
+for conv_flag, ff_flag in (("0", "0"), ("1", "0"), ("1", "1")):
+    os.environ["LEFTREFILL_FUSED_RESADD"] = conv_flag
+    os.environ["LEFTREFILL_FUSED_FFRES"] = ff_flag
+    t = timed(fwd_b, xin, pb, tt, ctx)
+    outs_b[(conv_flag, ff_flag)] = t
+    print(
+        f"UNet fwd b2 bf16 RESADD={conv_flag} FFRES={ff_flag}: {t*1e3:.2f} ms",
+        flush=True,
+    )
+print(
+    f"bf16 conv fused-residual saving: "
+    f"{(outs_b[('0','0')] - outs_b[('1','0')])*1e3:+.2f} ms/step",
+    flush=True,
+)
+print(
+    f"bf16 ff fused-residual saving:   "
+    f"{(outs_b[('1','0')] - outs_b[('1','1')])*1e3:+.2f} ms/step",
+    flush=True,
+)
 print("RESADD AB DONE", flush=True)

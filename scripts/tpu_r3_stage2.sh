@@ -1,0 +1,23 @@
+#!/bin/bash
+# Post-recovery stage 2 (run after relay_watchdog.sh finishes its suite):
+# the follow-up measurements that depend on stage-1 results being sane.
+#   nohup bash scripts/tpu_r3_stage2.sh > /tmp/stage2.log 2>&1 &
+cd /root/repo
+
+echo "$(date -u +%H:%M:%S) bench int8 batch-4 (does batching help post-fusions?)"
+BENCH_BATCH=4 BENCH_ITERS=3 python bench.py > /tmp/bench_b4_wd.log 2>&1
+echo "rc=$? $(tail -1 /tmp/bench_b4_wd.log)"
+
+echo "$(date -u +%H:%M:%S) bench int8 dpm++2m@20 (fast-sampler variant)"
+BENCH_SAMPLER=dpm++2m BENCH_STEPS=20 python bench.py > /tmp/bench_dpm_wd.log 2>&1
+echo "rc=$? $(tail -1 /tmp/bench_dpm_wd.log)"
+
+echo "$(date -u +%H:%M:%S) multiview e2e (bf16; FF-res fusion regression)"
+python scripts/tpu_multiview_e2e.py > /tmp/mv_e2e_wd.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_e2e_wd.log)"
+
+echo "$(date -u +%H:%M:%S) train step B=2 (geglu_fused_res VJP on-chip check)"
+python scripts/tpu_train_step.py > /tmp/train_wd.log 2>&1
+echo "rc=$? $(tail -2 /tmp/train_wd.log)"
+
+echo "$(date -u +%H:%M:%S) STAGE2 DONE"
