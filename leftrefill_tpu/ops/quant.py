@@ -285,7 +285,21 @@ def _plan_int8(h, w, ci, co, res=False):
     return plan_conv_blocks(h, w, ci, co, **kw)
 
 
-def _conv_int8_kernel(*refs, has_res: bool = False):
+# tap accumulation strategy for the int8 copy3 kernel, mirroring the bf16
+# kernel's (ops/conv.py): "sum9" = 9 K=blk_ci dots; "dy3" = 3 dots with the
+# dy taps concatenated along K (K=3*blk_ci); "concat" = one K=9*blk_ci dot.
+# Deeper K matters more at int8 (the 2x MXU rate needs deep contractions to
+# amortize tile setup) at the price of an in-VMEM im2col concat per step.
+_INT8_TAP_MODE = os.environ.get("LEFTREFILL_INT8_CONV_TAPS", "sum9")
+
+
+def set_int8_tap_mode(mode: str) -> None:
+    global _INT8_TAP_MODE
+    assert mode in ("sum9", "dy3", "concat")
+    _INT8_TAP_MODE = mode
+
+
+def _conv_int8_kernel(*refs, has_res: bool = False, tap_mode: str = "sum9"):
     if has_res:
         x0, x1, x2, w_ref, sc_ref, b_ref, res_ref, o_ref, acc_ref = refs
     else:
@@ -300,14 +314,41 @@ def _conv_int8_kernel(*refs, has_res: bool = False):
     h = o_ref.shape[1]
     blk_w = o_ref.shape[2]
     blk_ci = x0.shape[3]
-    for dx, xr in enumerate((x0, x1, x2)):
-        for dy in range(3):
-            xs = xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
+    if tap_mode == "concat":
+        # ordering (dy, dx, ci) to match w.reshape(9*blk_ci, co)
+        tiles = [
+            xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
+            for dy in range(3)
+            for xr in (x0, x1, x2)
+        ]
+        xs = jnp.concatenate(tiles, axis=1)
+        wf = w_ref[...].reshape(9 * blk_ci, w_ref.shape[3])
+        acc_ref[...] += jax.lax.dot_general(
+            xs, wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    elif tap_mode == "dy3":
+        for dx, xr in enumerate((x0, x1, x2)):
+            xs = jnp.concatenate(
+                [xr[0, dy : dy + h].reshape(h * blk_w, blk_ci) for dy in range(3)],
+                axis=1,
+            )
+            wf = w_ref[:, dx].reshape(3 * blk_ci, w_ref.shape[3])
             acc_ref[...] += jax.lax.dot_general(
-                xs, w_ref[dy, dx],
+                xs, wf,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+    else:
+        for dx, xr in enumerate((x0, x1, x2)):
+            for dy in range(3):
+                xs = xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
+                acc_ref[...] += jax.lax.dot_general(
+                    xs, w_ref[dy, dx],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
 
     @pl.when(ci == pl.num_programs(3) - 1)
     def _write():
@@ -426,7 +467,9 @@ def conv3x3_int8_copy3_pre(
         in_specs.append(o_spec)
         operands.append(res)
     out = pl.pallas_call(
-        functools.partial(_conv_int8_kernel, has_res=res is not None),
+        functools.partial(
+            _conv_int8_kernel, has_res=res is not None, tap_mode=_INT8_TAP_MODE
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co), out_dtype),
         grid=grid,
         in_specs=in_specs,

@@ -558,3 +558,24 @@ def test_geglu_fused_res_matches_and_differentiates():
         np.abs(np.asarray(gx_ref)).max(), 1e-6
     )
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("mode", ["dy3", "concat"])
+def test_int8_conv_tap_modes_match_sum9(mode):
+    """The deep-K tap variants (dy3: K=3*blk_ci, concat: K=9*blk_ci) are
+    bit-identical to sum9 — same int32 accumulation, different dot grouping."""
+    from leftrefill_tpu.ops import quant as Q
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (2, 16, 32, 128), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, 128, 128), jnp.float32) * 0.05
+    b = jax.random.normal(ks[2], (128,), jnp.float32)
+    wq, ws = quantize_weight(w)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            base = np.asarray(conv3x3_int8(x, wq, ws, b, out_dtype=jnp.float32))
+            Q.set_int8_tap_mode(mode)
+            out = np.asarray(conv3x3_int8(x, wq, ws, b, out_dtype=jnp.float32))
+    finally:
+        Q.set_int8_tap_mode("sum9")
+    np.testing.assert_array_equal(out, base)
