@@ -197,8 +197,13 @@ class QConv1x1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        ci = x.shape[-1]
+    def __call__(self, x: jax.Array, x2: Optional[jax.Array] = None) -> jax.Array:
+        """``x2``: optional second channel-concat part — the layer then
+        computes conv1x1([x ‖ x2]) as two split-kernel GEMMs without ever
+        materializing the concat (decoder skip cats; param layout
+        unchanged)."""
+        c1 = x.shape[-1]
+        ci = c1 + (x2.shape[-1] if x2 is not None else 0)
         kernel = self.param(
             "kernel",
             nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
@@ -208,15 +213,19 @@ class QConv1x1(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         scale = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
         shp = x.shape
+        k2d = kernel.reshape(ci, self.features)
         if kernel.dtype == jnp.int8:
             from leftrefill_tpu.ops.quant import dense_int8, quantize_activation_rowwise
 
-            xq, xs = quantize_activation_rowwise(x.reshape(-1, ci))
-            y = dense_int8(
-                xq, xs, kernel.reshape(ci, self.features), scale, bias, out_dtype=self.dtype
-            )
+            xq, xs = quantize_activation_rowwise(x.reshape(-1, c1))
+            y = dense_int8(xq, xs, k2d[:c1], scale, bias, out_dtype=self.dtype)
+            if x2 is not None:
+                xq2, xs2 = quantize_activation_rowwise(x2.reshape(-1, ci - c1))
+                y = y + dense_int8(xq2, xs2, k2d[c1:], scale, None, out_dtype=self.dtype)
             return y.reshape(*shp[:-1], self.features)
-        y = x.astype(self.dtype).reshape(-1, ci) @ kernel.reshape(ci, self.features).astype(self.dtype)
+        y = x.astype(self.dtype).reshape(-1, c1) @ k2d[:c1].astype(self.dtype)
+        if x2 is not None:
+            y = y + x2.astype(self.dtype).reshape(-1, ci - c1) @ k2d[c1:].astype(self.dtype)
         y = y + bias.astype(self.dtype)
         return y.reshape(*shp[:-1], self.features)
 
@@ -354,10 +363,18 @@ class ResBlock(nn.Module):
     quant: bool = False  # W8A8 int8 on the two 3x3 convs (ops/quant.py)
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+    def __call__(self, x, emb: jax.Array) -> jax.Array:
         from leftrefill_tpu.ops.layers import adjust_groups, group_norm32
 
-        in_ch = x.shape[-1]
+        # x may be a 2-tuple (h, skip): the decoder's channel concat
+        # (openaimodel.py:760) passed unmaterialized — the fused int8 path
+        # consumes the parts via split-kernel convs (gn_silu_conv3x3_int8_cat2)
+        parts = x if isinstance(x, tuple) else None
+        if parts is not None:
+            in_ch = parts[0].shape[-1] + parts[1].shape[-1]
+            x = parts[0]  # shape/ndim probe; materialized only if needed
+        else:
+            in_ch = x.shape[-1]
         g1s, g1b = _GNParams(name="in_layers_0")(in_ch)
         k1, c1b, s1 = _Conv3x3Params(
             features=self.out_channels, in_features=in_ch, quant=self.quant,
@@ -386,6 +403,7 @@ class ResBlock(nn.Module):
         ):
             from leftrefill_tpu.ops.quant import (
                 gn_silu_conv3x3_int8,
+                gn_silu_conv3x3_int8_cat2,
                 gn_silu_conv3x3_int8_qualifies,
             )
 
@@ -398,15 +416,30 @@ class ResBlock(nn.Module):
                 hh, ww, self.out_channels, self.out_channels, g2
             ):
                 fused = True
-                h = gn_silu_conv3x3_int8(
-                    x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
-                    num_groups=g1, out_dtype=self.dtype,
-                )
+                if parts is not None:
+                    h = gn_silu_conv3x3_int8_cat2(
+                        parts[0].astype(self.dtype), parts[1].astype(self.dtype),
+                        g1s, g1b, k1, s1, c1b, num_groups=g1,
+                        out_dtype=self.dtype,
+                    )
+                else:
+                    h = gn_silu_conv3x3_int8(
+                        x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
+                        num_groups=g1, out_dtype=self.dtype,
+                    )
                 # residual add fused into the out-conv epilogue (saves one
                 # HBM round-trip of h per block, openaimodel.py:273)
                 if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0":
                     if self.out_channels == in_ch:
-                        skip = x.astype(self.dtype)
+                        skip = (
+                            jnp.concatenate(parts, axis=-1) if parts is not None else x
+                        ).astype(self.dtype)
+                    elif parts is not None:
+                        # split-kernel 1x1 over the unmaterialized concat
+                        skip = conv1x1(
+                            self.out_channels, dtype=self.dtype,
+                            name="skip_connection", quant=self.quant,
+                        )(parts[0], parts[1])
                     else:
                         skip = conv1x1(
                             self.out_channels, dtype=self.dtype,
@@ -428,6 +461,11 @@ class ResBlock(nn.Module):
                     )
                 if skip is not None:
                     return h
+
+        if parts is not None:
+            # remaining paths (unfused, or fused with RESADD=0) consume the
+            # materialized concat
+            x = jnp.concatenate(parts, axis=-1)
 
         if not fused:
             h = group_norm32(x, g1s, g1b, num_groups=32, eps=1e-5)
@@ -1019,7 +1057,8 @@ class UNetModel(nn.Module):
         dup_on = dup_state is not None and dup_state["on"]
         for kind, layer in layers:
             if kind == "res":
-                h = layer(h, emb[: h.shape[0]] if dup_on else emb)
+                bsz = (h[0] if isinstance(h, tuple) else h).shape[0]
+                h = layer(h, emb[:bsz] if dup_on else emb)
             elif kind == "st":
                 kv = cross_kv.get(layer.name) if cross_kv is not None else None
                 extra = {"dup_to_context": True} if dup_on else {}
@@ -1088,7 +1127,16 @@ class UNetModel(nn.Module):
             skip = hs.pop()
             if skip.shape[0] != h.shape[0]:  # skip stored before the dup point
                 skip = jnp.concatenate([skip, skip], axis=0)
-            h = jnp.concatenate([h, skip], axis=-1)
+            if (
+                self.quant
+                and layers[0][0] == "res"
+                and os.environ.get("LEFTREFILL_SPLIT_CAT", "1") != "0"
+            ):
+                # unmaterialized channel concat: the leading ResBlock consumes
+                # the parts via split-kernel convs (openaimodel.py:760)
+                h = (h, skip)
+            else:
+                h = jnp.concatenate([h, skip], axis=-1)
             h = self._apply_seq(
                 layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state, **kwargs
             )

@@ -621,6 +621,42 @@ def affine_silu_quant(
     )(x, a3, bb3, s2)
 
 
+def _gn_affine_ab(
+    m_c: jax.Array,        # [B, C] per-channel spatial mean
+    q_c: jax.Array,        # [B, C] per-channel spatial E[x^2]
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int,
+    eps: float,
+    emb: Optional[jax.Array],
+    scale_shift: Optional[tuple],
+) -> tuple[jax.Array, jax.Array]:
+    """GroupNorm32(+emb-add | scale-shift) folded to per-channel affine
+    vectors (a, bb): normalize+affine == x*a + bb.  Operating on the
+    per-channel moments means the spatial tensor may live in HBM as several
+    channel-concatenated parts (decoder skip cats) — moments are computed
+    per part and concatenated here, which is exact: grouping happens on the
+    [B, C] vectors, not the spatial data."""
+    b, c = m_c.shape
+    g = num_groups
+    e_c = emb.astype(jnp.float32) if emb is not None else jnp.zeros_like(m_c)
+    mg = jnp.mean((m_c + e_c).reshape(b, g, c // g), axis=-1)            # [B, g]
+    q2 = q_c + 2.0 * e_c * m_c + e_c * e_c
+    vg = jnp.mean(q2.reshape(b, g, c // g), axis=-1) - mg * mg           # [B, g]
+    rstd = jax.lax.rsqrt(vg + eps)                                       # [B, g]
+    rstd_c = jnp.repeat(rstd, c // g, axis=-1)                           # [B, C]
+    mg_c = jnp.repeat(mg, c // g, axis=-1)
+    gmm = gamma.astype(jnp.float32)[None]
+    a = rstd_c * gmm                                                     # [B, C]
+    bb = (e_c - mg_c) * a + beta.astype(jnp.float32)[None]
+    if scale_shift is not None:
+        s_, t_ = scale_shift
+        s_ = 1.0 + s_.astype(jnp.float32)
+        a = a * s_
+        bb = bb * s_ + t_.astype(jnp.float32)
+    return a, bb
+
+
 def gn_silu_conv3x3_int8(
     x: jax.Array,          # [B, H, W, C] bf16 (pre-GN activation)
     gamma: jax.Array,      # [C] GroupNorm scale
@@ -648,25 +684,10 @@ def gn_silu_conv3x3_int8(
     (m_c, q_c) — two tiny [B,C] reductions of x are the only XLA work.
     """
     b, h, w, c = x.shape
-    g = num_groups
     xf32 = x.astype(jnp.float32)
     m_c = jnp.mean(xf32, axis=(1, 2))            # [B, C] spatial mean
     q_c = jnp.mean(xf32 * xf32, axis=(1, 2))     # [B, C] spatial E[x^2]
-    e_c = emb.astype(jnp.float32) if emb is not None else jnp.zeros_like(m_c)
-    mg = jnp.mean((m_c + e_c).reshape(b, g, c // g), axis=-1)            # [B, g]
-    q2 = q_c + 2.0 * e_c * m_c + e_c * e_c
-    vg = jnp.mean(q2.reshape(b, g, c // g), axis=-1) - mg * mg           # [B, g]
-    rstd = jax.lax.rsqrt(vg + eps)                                       # [B, g]
-    rstd_c = jnp.repeat(rstd, c // g, axis=-1)                           # [B, C]
-    mg_c = jnp.repeat(mg, c // g, axis=-1)
-    gmm = gamma.astype(jnp.float32)[None]
-    a = rstd_c * gmm                                                     # [B, C]
-    bb = (e_c - mg_c) * a + beta.astype(jnp.float32)[None]
-    if scale_shift is not None:
-        s_, t_ = scale_shift
-        s_ = 1.0 + s_.astype(jnp.float32)
-        a = a * s_
-        bb = bb * s_ + t_.astype(jnp.float32)
+    a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, emb, scale_shift)
 
     # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce (no
     # materialized tensor; silu is monotone-ish but not, so reduce the real
@@ -692,6 +713,89 @@ def gn_silu_conv3x3_int8(
 
 def gn_silu_conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int, num_groups: int = 32) -> bool:
     return conv3x3_int8_qualifies(h, w, ci, co) and ci % num_groups == 0
+
+
+def gn_silu_conv3x3_int8_cat2(
+    x1: jax.Array,         # [B, H, W, C1] bf16 — the upsampled stream
+    x2: jax.Array,         # [B, H, W, C2] bf16 — the encoder skip
+    gamma: jax.Array,      # [C1+C2]
+    beta: jax.Array,
+    wq: jax.Array,         # [3,3,C1+C2,CO] int8
+    w_scale: jax.Array,    # [CO]
+    bias: jax.Array,       # [CO]
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    emb: Optional[jax.Array] = None,
+    scale_shift: Optional[tuple] = None,
+    out_dtype=jnp.bfloat16,
+    res: Optional[jax.Array] = None,
+) -> jax.Array:
+    """gn_silu_conv3x3_int8 over a VIRTUAL channel concat [x1 ‖ x2] — the
+    decoder skip cat (openaimodel.py:760, `th.cat([h, hs.pop()], dim=1)`)
+    without ever materializing the concatenated tensor in HBM:
+
+    - GroupNorm statistics reduce per-channel spatial moments, computed per
+      part and concatenated as tiny [B, C] vectors (exact — see
+      _gn_affine_ab);
+    - the folded affine+SiLU+quantize runs per part with a SHARED dynamic
+      int8 scale (joint abs-max), so the quantized parts are bit-identical
+      to quantizing the materialized concat;
+    - conv(cat, W) == conv(x1, W[:, :, :C1]) + conv(x2, W[:, :, C1:]):
+      the second kernel consumes the first's output through the fused
+      residual epilogue, so the partial sum costs one extra HBM round-trip
+      of the (CO-channel) output instead of write+read of the (C1+C2)-wide
+      concat.
+
+    Falls back to materializing the concat when a needed conv plan is
+    missing."""
+    b, h, w, c1 = x1.shape
+    c2 = x2.shape[-1]
+    co = wq.shape[-1]
+
+    def plan_any(ci_, res_):
+        return (
+            _plan_int8(h, w, ci_, co, res=res_) is not None
+            or _plan_int8_single(h, w, ci_, co, res=res_) is not None
+        )
+
+    if not (plan_any(c1, res is not None) and plan_any(c2, True)):
+        return gn_silu_conv3x3_int8(
+            jnp.concatenate([x1, x2], axis=-1), gamma, beta, wq, w_scale, bias,
+            num_groups=num_groups, eps=eps, emb=emb, scale_shift=scale_shift,
+            out_dtype=out_dtype, res=res,
+        )
+
+    f1 = x1.astype(jnp.float32)
+    f2 = x2.astype(jnp.float32)
+    m_c = jnp.concatenate([jnp.mean(f1, axis=(1, 2)), jnp.mean(f2, axis=(1, 2))], -1)
+    q_c = jnp.concatenate(
+        [jnp.mean(f1 * f1, axis=(1, 2)), jnp.mean(f2 * f2, axis=(1, 2))], -1
+    )
+    a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, emb, scale_shift)
+    a1, a2 = a[:, :c1], a[:, c1:]
+    b1, b2 = bb[:, :c1], bb[:, c1:]
+
+    def part_amax(f, av, bv):
+        y = f * av[:, None, None, :] + bv[:, None, None, :]
+        return jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
+
+    amax = jnp.maximum(part_amax(f1, a1, b1), part_amax(f2, a2, b2))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    inv = 1.0 / scale
+    xq1 = affine_silu_quant(x1, a1, b1, inv)
+    xq2 = affine_silu_quant(x2, a2, b2, inv)
+
+    def conv_part(xq, wpart, bias_, res_):
+        ci_ = xq.shape[-1]
+        if _plan_int8(h, w, ci_, co, res=res_ is not None) is not None:
+            return conv3x3_int8_copy3_pre(xq, scale, wpart, w_scale, bias_,
+                                          out_dtype, res=res_)
+        return conv3x3_int8_single_pre(xq, scale, wpart, w_scale, bias_,
+                                       out_dtype, res=res_)
+
+    out1 = conv_part(xq1, wq[:, :, :c1], bias, res)
+    return conv_part(xq2, wq[:, :, c1:], jnp.zeros_like(bias), out1)
 
 
 # ---------------------------------------------------------------------------

@@ -20,4 +20,16 @@ echo "$(date -u +%H:%M:%S) train step B=2 (geglu_fused_res VJP on-chip check)"
 python scripts/tpu_train_step.py > /tmp/train_wd.log 2>&1
 echo "rc=$? $(tail -2 /tmp/train_wd.log)"
 
+echo "$(date -u +%H:%M:%S) split-cat A/B (unmaterialized decoder skip cats)"
+python scripts/tpu_r3_splitcat_ab.py > /tmp/splitcat_wd.log 2>&1
+echo "rc=$? $(tail -3 /tmp/splitcat_wd.log)"
+
+echo "$(date -u +%H:%M:%S) glue micro (bottom-up non-attn accounting)"
+python scripts/tpu_r3_glue_micro.py > /tmp/glue_wd.log 2>&1
+echo "rc=$? $(tail -2 /tmp/glue_wd.log)"
+
+echo "$(date -u +%H:%M:%S) conv tune sweep (block plans + tap modes)"
+python scripts/tpu_r3_convtune.py > /tmp/convtune_wd.log 2>&1
+echo "rc=$? $(tail -2 /tmp/convtune_wd.log)"
+
 echo "$(date -u +%H:%M:%S) STAGE2 DONE"

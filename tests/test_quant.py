@@ -579,3 +579,103 @@ def test_int8_conv_tap_modes_match_sum9(mode):
     finally:
         Q.set_int8_tap_mode("sum9")
     np.testing.assert_array_equal(out, base)
+
+
+def test_gn_silu_conv_cat2_matches_materialized():
+    """gn_silu_conv3x3_int8_cat2 over (x1, x2) == gn_silu_conv3x3_int8 over
+    the materialized concat: identical quantized activations (shared joint
+    scale), split-kernel conv summed through the fused-res epilogue (one
+    extra bf16 rounding of the partial sum)."""
+    from leftrefill_tpu.ops.quant import (
+        gn_silu_conv3x3_int8,
+        gn_silu_conv3x3_int8_cat2,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    b, h, w, c1, c2, co = 1, 16, 32, 128, 128, 128
+    x1 = jax.random.normal(ks[0], (b, h, w, c1), jnp.float32).astype(jnp.bfloat16)
+    x2 = jax.random.normal(ks[1], (b, h, w, c2), jnp.float32).astype(jnp.bfloat16)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[2], (c1 + c2,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[3], (c1 + c2,), jnp.float32)
+    wt = jax.random.normal(ks[4], (3, 3, c1 + c2, co), jnp.float32) * 0.05
+    wq, ws = quantize_weight(wt)
+    bias = 0.1 * jax.random.normal(ks[5], (co,), jnp.float32)
+    emb = 0.1 * jax.random.normal(ks[5], (b, c1 + c2), jnp.float32)
+    res = jax.random.normal(ks[0], (b, h, w, co), jnp.float32).astype(jnp.bfloat16)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            gn_silu_conv3x3_int8(
+                jnp.concatenate([x1, x2], -1), gamma, beta, wq, ws, bias,
+                num_groups=32, emb=emb, res=res,
+            ),
+            np.float32,
+        )
+        out = np.asarray(
+            gn_silu_conv3x3_int8_cat2(
+                x1, x2, gamma, beta, wq, ws, bias, num_groups=32, emb=emb, res=res,
+            ),
+            np.float32,
+        )
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.02, rel
+
+
+def test_resblock_split_cat_matches_materialized(monkeypatch):
+    """ResBlock((h, skip)) == ResBlock(cat([h, skip])) on the fused int8 path
+    (split-kernel convs + split 1x1 skip), with an identical param tree."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import ResBlock
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    b, h, w, c1, c2, out_ch = 1, 16, 32, 128, 128, 128
+    rng = np.random.RandomState(9)
+    x1 = jnp.asarray(rng.randn(b, h, w, c1).astype(np.float32), jnp.bfloat16)
+    x2 = jnp.asarray(rng.randn(b, h, w, c2).astype(np.float32), jnp.bfloat16)
+    xc = jnp.concatenate([x1, x2], axis=-1)
+    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
+
+    block = ResBlock(out_channels=out_ch, dtype=jnp.bfloat16, quant=True)
+    with pltpu.force_tpu_interpret_mode():
+        params = block.init(jax.random.PRNGKey(0), xc, emb)["params"]
+        p_tup = block.init(jax.random.PRNGKey(0), (x1, x2), emb)["params"]
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+            p_tup
+        )
+        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), xc, emb)["params"]
+        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
+        ref = np.asarray(block.apply({"params": qp}, xc, emb), np.float32)
+        out = np.asarray(block.apply({"params": qp}, (x1, x2), emb), np.float32)
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.03, rel
+
+
+def test_unet_split_cat_plumbing_cpu():
+    """On CPU (no Pallas path) the decoder's unmaterialized-cat tuple must be
+    materialized inside ResBlock: SPLIT_CAT on/off are bit-identical."""
+    import os
+
+    from leftrefill_tpu.models.unet import UNetModel
+
+    m = UNetModel(
+        model_channels=64, num_res_blocks=1, attention_resolutions=(2,),
+        channel_mult=(1, 2), num_heads=2, context_dim=64,
+        transformer_depth=1, dtype=jnp.float32, quant=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 9), jnp.float32)
+    t = jnp.array([3], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 64), jnp.float32)
+    params = m.init(jax.random.PRNGKey(2), x, t, ctx)
+    old = os.environ.get("LEFTREFILL_SPLIT_CAT")
+    try:
+        os.environ["LEFTREFILL_SPLIT_CAT"] = "1"
+        a = np.asarray(m.apply(params, x, t, ctx))
+        os.environ["LEFTREFILL_SPLIT_CAT"] = "0"
+        b_ = np.asarray(m.apply(params, x, t, ctx))
+    finally:
+        if old is None:
+            os.environ.pop("LEFTREFILL_SPLIT_CAT", None)
+        else:
+            os.environ["LEFTREFILL_SPLIT_CAT"] = old
+    np.testing.assert_array_equal(a, b_)
