@@ -76,12 +76,26 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
             raise ValueError("The model should not disable self attention as designed.")
         bv, hw, c = x.shape
 
+        import os
+
+        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
+
+        def attn1_pre(t):
+            """norm1 -> attn1 -> +residual, with the fused LN+quant prenorm
+            when available (mirrors BasicTransformerBlock)."""
+            if lnq:
+                tn, tq, ts = self.norm1(t, quant_rowwise=True)
+                return self.attn1(
+                    tn, pre_quant=(tq, ts) if tq is not None else None
+                ) + t
+            return self.attn1(self.norm1(t)) + t
+
         if self.concat_target:
             pairs = self.view_num - 1  # canvases per scene
             if self.no_rearrange_selfattn:
                 b = bv // pairs
                 xs = x.reshape(b, pairs * hw, c)
-                xs = self.attn1(self.norm1(xs)) + xs
+                xs = attn1_pre(xs)
                 x = xs.reshape(bv, hw, c)
             else:
                 # canvases are [view | target]; hw = s * 2s
@@ -92,7 +106,7 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
                 lefts = xn[:, :, :, :s, :]  # each canvas's view half
                 seq = jnp.concatenate([target, lefts], axis=1)  # [b, v, s, s, c]
                 seq = seq.reshape(b, self.view_num * s * s, c)
-                seq = self.attn1(self.norm1(seq)) + seq
+                seq = attn1_pre(seq)
                 seq = seq.reshape(b, self.view_num, s, s, c)
                 new_target = jnp.broadcast_to(
                     seq[:, 0:1], (b, pairs, s, s, c)
@@ -103,11 +117,19 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
         else:
             b = bv // self.view_num
             xs = x.reshape(b, self.view_num * hw, c)
-            xs = self.attn1(self.norm1(xs)) + xs
+            xs = attn1_pre(xs)
             x = xs.reshape(bv, hw, c)
 
-        x = self.attn2(self.norm2(x), context, kv=cross_kv) + x
-        x = self.ff(self.norm3(x), res=x)
+        if lnq:
+            xn, xq, sx = self.norm2(x, quant_rowwise=True)
+            pq = (xq, sx) if xq is not None else None
+            x = self.attn2(xn, context, kv=cross_kv, pre_quant=pq) + x
+            xn, xq, sx = self.norm3(x, quant_rowwise=True)
+            pq = (xq, sx) if xq is not None else None
+            x = self.ff(xn, res=x, pre_quant=pq)
+        else:
+            x = self.attn2(self.norm2(x), context, kv=cross_kv) + x
+            x = self.ff(self.norm3(x), res=x)
         return x
 
 

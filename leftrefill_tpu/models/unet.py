@@ -266,15 +266,26 @@ class LayerNormF32(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, quant_rowwise: bool = False):
+        """``quant_rowwise``: also return the per-row int8 quantization of the
+        normalized output — (x_norm, xq, scales), fused into one Pallas pass
+        on TPU (ops/quant.ln_quant_rowwise), (x_norm, None, None) when the
+        fused kernel has no plan (caller computes its own quantization)."""
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if quant_rowwise:
+            from leftrefill_tpu.ops.quant import ln_quant_qualifies, ln_quant_rowwise
+
+            r = int(np.prod(x.shape[:-1]))
+            if x.dtype == jnp.bfloat16 and ln_quant_qualifies(r, dim):
+                return ln_quant_rowwise(x, scale, bias, eps=self.eps)
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return y.astype(x.dtype)
+        y = y.astype(x.dtype)
+        return (y, None, None) if quant_rowwise else y
 
 
 class Upsample(nn.Module):
@@ -554,9 +565,15 @@ class GEGLUFeedForward(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, res: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        res: Optional[jax.Array] = None,
+        pre_quant: Optional[tuple[jax.Array, jax.Array]] = None,
+    ) -> jax.Array:
         """``res``: residual tensor (the transformer block's ``+ x``) — fused
-        into the int8 kernel epilogue when available, added here otherwise."""
+        into the int8 kernel epilogue when available, added here otherwise.
+        ``pre_quant``: (xq, scales) of x from the fused LN+quant prenorm."""
         from leftrefill_tpu.ops.mlp import (
             geglu_fused,
             geglu_fused_int8,
@@ -586,10 +603,17 @@ class GEGLUFeedForward(nn.Module):
                     res is not None
                     and os.environ.get("LEFTREFILL_FUSED_FFRES", "1") != "0"
                 )
+                pq = None
+                if pre_quant is not None and pre_quant[0] is not None:
+                    pq = (
+                        pre_quant[0].reshape(r, din),
+                        pre_quant[1].reshape(r, 1),
+                    )
                 out = geglu_fused_int8(
                     x2.astype(self.dtype), k1, s1, b1, k2, s2, b2,
                     out_dtype=self.dtype,
                     res=res.reshape(r, self.dim) if fuse_res else None,
+                    pre_quant=pq,
                 )
                 out = out.reshape(*x.shape[:-1], self.dim)
                 if res is not None and not fuse_res:
@@ -668,10 +692,15 @@ class CrossAttention(nn.Module):
         context: Optional[jax.Array] = None,
         return_attn: bool = False,
         kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        pre_quant: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
+        """``pre_quant``: (xq, x_scale) of x, already quantized upstream (the
+        fused LN+quant prenorm) — skips the quantization pass here."""
         ctx = x if context is None else context
         xq = sx = None
-        if self.quant:
+        if pre_quant is not None:
+            xq, sx = pre_quant
+        elif self.quant:
             # quantize each distinct activation once; q/k/v share it when
             # self-attending (3 projections, 1 quantization pass).  Per-row
             # scales: a hot token no longer collapses every row's resolution
@@ -748,8 +777,15 @@ class BasicTransformerBlock(nn.Module):
         self.norm2 = LayerNormF32(name="norm2")
         self.norm3 = LayerNormF32(name="norm3")
 
-    def self_attend(self, x_norm: jax.Array, context: Optional[jax.Array]) -> jax.Array:
-        return self.attn1(x_norm, context if self.disable_self_attn else None)
+    def self_attend(
+        self,
+        x_norm: jax.Array,
+        context: Optional[jax.Array],
+        pre_quant: Optional[tuple] = None,
+    ) -> jax.Array:
+        return self.attn1(
+            x_norm, context if self.disable_self_attn else None, pre_quant=pre_quant
+        )
 
     def cross_kv(self, context: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Precompute attn2's (k, v) for a fixed context (the conditioning KV
@@ -771,11 +807,29 @@ class BasicTransformerBlock(nn.Module):
         if dup_to_context and self.disable_self_attn:
             x = jnp.concatenate([x, x], axis=0)  # attn1 consumes context
             dup_to_context = False
-        x = self.self_attend(self.norm1(x), context) + x
+        # fused LN+rowwise-quant prenorms (one Pallas pass feeds both the
+        # attention projections and the FF kernel their int8 activations)
+        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
+        if lnq:
+            xn, xq, sx = self.norm1(x, quant_rowwise=True)
+            pq = (xq, sx) if xq is not None else None
+            x = self.self_attend(xn, context, pre_quant=pq) + x
+        else:
+            x = self.self_attend(self.norm1(x), context) + x
         if dup_to_context:
             x = jnp.concatenate([x, x], axis=0)
-        x = self.attn2(self.norm2(x), context, return_attn=return_attn, kv=cross_kv) + x
-        x = self.ff(self.norm3(x), res=x)
+        if lnq:
+            xn, xq, sx = self.norm2(x, quant_rowwise=True)
+            pq = (xq, sx) if xq is not None else None
+            x = self.attn2(xn, context, return_attn=return_attn, kv=cross_kv,
+                           pre_quant=pq) + x
+            xn, xq, sx = self.norm3(x, quant_rowwise=True)
+            pq = (xq, sx) if xq is not None else None
+            x = self.ff(xn, res=x, pre_quant=pq)
+        else:
+            x = self.attn2(self.norm2(x), context, return_attn=return_attn,
+                           kv=cross_kv) + x
+            x = self.ff(self.norm3(x), res=x)
         return x
 
 

@@ -300,6 +300,7 @@ def geglu_fused_int8(
     b2: jax.Array,
     out_dtype=jnp.bfloat16,
     res: Optional[jax.Array] = None,  # [R, dout]: fused residual add
+    pre_quant: Optional[tuple[jax.Array, jax.Array]] = None,  # (xq, sx [R,1])
 ) -> jax.Array:
     from leftrefill_tpu.ops.quant import quantize_activation_rowwise
 
@@ -309,13 +310,14 @@ def geglu_fused_int8(
     if plan is None and res is not None:
         # no room for the residual block resident: unfused add
         return geglu_fused_int8(
-            x, w1q, w1_scale, b1, w2q, w2_scale, b2, out_dtype
+            x, w1q, w1_scale, b1, w2q, w2_scale, b2, out_dtype,
+            pre_quant=pre_quant,
         ) + res.astype(out_dtype)
     assert plan is not None, "caller must check geglu_fused_qualifies"
     blk_r, ci = plan
     nc = inner // ci
 
-    xq, sx = quantize_activation_rowwise(x)
+    xq, sx = pre_quant if pre_quant is not None else quantize_activation_rowwise(x)
     b1f = b1.astype(jnp.float32).reshape(1, 2 * inner)
     b2f = b2.astype(jnp.float32).reshape(1, dout)
     s1 = w1_scale.astype(jnp.float32).reshape(1, 2 * inner)

@@ -621,6 +621,92 @@ def affine_silu_quant(
     )(x, a3, bb3, s2)
 
 
+def _plan_ln_rows(r: int, c: int) -> Optional[int]:
+    """Row-block size for the fused LN+quant kernel: multiple of 32 (the int8
+    sublane tile) dividing r, sized so the resident fp32 compute tile stays
+    well under scoped VMEM."""
+    for blk in (512, 256, 128, 64, 32):
+        if r % blk == 0 and blk * c * 10 <= 8 * 1024 * 1024:
+            return blk
+    return None
+
+
+def ln_quant_qualifies(r: int, c: int) -> bool:
+    from leftrefill_tpu.ops.conv import on_tpu
+
+    return on_tpu() and _plan_ln_rows(r, c) is not None
+
+
+def _ln_quant_kernel(x_ref, g_ref, b_ref, xn_ref, xq_ref, sc_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)                       # [blk_r, C]
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    d = xf - m
+    v = jnp.mean(d * d, axis=-1, keepdims=True)
+    y = d * jax.lax.rsqrt(v + eps) * g_ref[0].astype(jnp.float32) + b_ref[
+        0
+    ].astype(jnp.float32)
+    xn_ref[...] = y.astype(xn_ref.dtype)
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)        # [blk_r, 1]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq_ref[...] = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
+    sc_ref[...] = scale
+
+
+def ln_quant_rowwise(
+    x: jax.Array,       # [..., C] bf16/f32
+    gamma: jax.Array,   # [C]
+    beta: jax.Array,    # [C]
+    eps: float = 1e-5,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused fp32-island LayerNorm + per-row symmetric int8 quantization:
+    one HBM read of x, writes (x_norm, xq, scales) — replaces the unfused
+    LayerNormF32 -> quantize_activation_rowwise chain (2 extra full-tensor
+    HBM reads + layout-copy XLA fusions) at the transformer dense sites
+    (attention.py:253-283 prenorms).  The quantized values come from the
+    fp32 normalize (no intermediate bf16 round), strictly finer than the
+    unfused chain.  Caller must check ln_quant_qualifies.
+
+    Inference-only (the int8 consumers are non-differentiable); training
+    paths run quant=False and never reach it."""
+    *lead, c = x.shape
+    r = int(np.prod(lead))
+    blk = _plan_ln_rows(r, c)
+    assert blk is not None, "caller must check ln_quant_qualifies"
+    x2 = x.reshape(r, c)
+    g2 = gamma.astype(jnp.float32).reshape(1, c)
+    b2 = beta.astype(jnp.float32).reshape(1, c)
+    out_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
+    xn, xq, sc = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), out_dtype),
+            jax.ShapeDtypeStruct((r, c), jnp.int8),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ],
+        grid=(r // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * x.size,
+            bytes_accessed=x.size * x.dtype.itemsize * 2 + x.size,
+            transcendentals=0,
+        ),
+    )(x2, g2, b2)
+    return (
+        xn.reshape(*lead, c),
+        xq.reshape(*lead, c),
+        sc.reshape(*lead, 1),
+    )
+
+
 def _gn_affine_ab(
     m_c: jax.Array,        # [B, C] per-channel spatial mean
     q_c: jax.Array,        # [B, C] per-channel spatial E[x^2]

@@ -49,9 +49,13 @@ def fwd(c, p, tt, ctx):
     return jnp.concatenate([o, o, c[..., :1]], axis=-1) * 1e-3 + c * 0.999
 
 
-for flag in ("0", "1"):
-    os.environ["LEFTREFILL_SPLIT_CAT"] = flag
+for cat_flag, lnq_flag in (("0", "0"), ("1", "0"), ("1", "1"), ("0", "1")):
+    os.environ["LEFTREFILL_SPLIT_CAT"] = cat_flag
+    os.environ["LEFTREFILL_FUSED_LNQ"] = lnq_flag
     t = timed(fwd, xin, params, tt, ctx)
-    print(f"UNet fwd b2 int8 SPLIT_CAT={flag}: {t*1e3:.2f} ms", flush=True)
+    print(
+        f"UNet fwd b2 int8 SPLIT_CAT={cat_flag} LNQ={lnq_flag}: {t*1e3:.2f} ms",
+        flush=True,
+    )
 
 print("SPLITCAT AB DONE", flush=True)

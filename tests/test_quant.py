@@ -679,3 +679,62 @@ def test_unet_split_cat_plumbing_cpu():
         else:
             os.environ["LEFTREFILL_SPLIT_CAT"] = old
     np.testing.assert_array_equal(a, b_)
+
+
+def test_ln_quant_rowwise_matches_unfused():
+    """ln_quant_rowwise == LayerNormF32 -> quantize_activation_rowwise (the
+    fused path quantizes from the fp32 normalize, so allow 1 int8 LSB)."""
+    from leftrefill_tpu.ops.quant import ln_quant_rowwise, quantize_activation_rowwise
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(ks[0], (2, 256, 320), jnp.float32).astype(jnp.bfloat16)
+    g = 1.0 + 0.1 * jax.random.normal(ks[1], (320,), jnp.float32)
+    b = 0.1 * jax.random.normal(ks[2], (320,), jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, -1, keepdims=True)
+    v = jnp.mean((xf - m) ** 2, -1, keepdims=True)
+    ref = ((xf - m) * jax.lax.rsqrt(v + 1e-5) * g + b).astype(jnp.bfloat16)
+    rq, rs = quantize_activation_rowwise(ref)
+
+    with pltpu.force_tpu_interpret_mode():
+        xn, xq, sc = ln_quant_rowwise(x, g, b)
+    assert xn.dtype == jnp.bfloat16 and xq.dtype == jnp.int8
+    assert sc.shape == (2, 256, 1)
+    np.testing.assert_allclose(
+        np.asarray(xn, np.float32), np.asarray(ref, np.float32), atol=0.03, rtol=0.02
+    )
+    deq_f = np.asarray(xq, np.float32) * np.asarray(sc)
+    deq_r = np.asarray(rq, np.float32) * np.asarray(rs)
+    scale_mag = np.abs(np.asarray(ref, np.float32)).max()
+    assert np.abs(deq_f - deq_r).max() < 0.02 * scale_mag + 2.0 / 127.0 * scale_mag
+
+
+def test_transformer_block_lnq_matches_unfused(monkeypatch):
+    """BasicTransformerBlock int8 with the fused LN+quant prenorms
+    (LEFTREFILL_FUSED_LNQ=1) == the unfused chain, identical param tree."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import BasicTransformerBlock
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    b, n, c = 1, 64, 128
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, n, c).astype(np.float32), jnp.bfloat16)
+    ctx = jnp.asarray(rng.randn(b, 77, 96).astype(np.float32), jnp.bfloat16)
+    blk = BasicTransformerBlock(
+        dim=c, n_heads=4, d_head=32, context_dim=96, dtype=jnp.bfloat16, quant=True
+    )
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("LEFTREFILL_FUSED_LNQ", "1")
+        params = blk.init(jax.random.PRNGKey(0), x, ctx)["params"]
+        q_struct = jax.eval_shape(blk.init, jax.random.PRNGKey(0), x, ctx)["params"]
+        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
+        fused = np.asarray(blk.apply({"params": qp}, x, ctx), np.float32)
+
+        monkeypatch.setenv("LEFTREFILL_FUSED_LNQ", "0")
+        p2 = blk.init(jax.random.PRNGKey(0), x, ctx)["params"]
+        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
+        unfused = np.asarray(blk.apply({"params": qp}, x, ctx), np.float32)
+    rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
+    assert rel < 0.05, rel
