@@ -854,7 +854,9 @@ class SpatialTransformer(nn.Module):
 
     def setup(self):
         inner = self.n_heads * self.d_head
-        self.norm = GroupNorm32(32, eps=1e-6, name="norm")
+        # param holder (same scale/bias tree as GroupNorm32) so the quant
+        # path can fuse GN + per-pixel int8 quantize feeding proj_in
+        self.norm_params = _GNParams(name="norm")
         if self.use_linear:
             self.proj_in = QDense(inner, dtype=self.dtype, name="proj_in", quant=self.quant)
             self.proj_out = QDense(
@@ -902,12 +904,33 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         context = self._slice_context(context)
         x_in = x
-        x = self.norm(x)
-        if not self.use_linear:
-            x = self.proj_in(x)
-        x = x.reshape(b, h * w, x.shape[-1])
-        if self.use_linear:
-            x = self.proj_in(x)
+        from leftrefill_tpu.ops.layers import group_norm32
+
+        gs, gb = self.norm_params(c)
+        fused_gnq = False
+        if (
+            self.quant
+            and self.use_linear
+            and x.dtype == jnp.bfloat16
+            and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
+        ):
+            from leftrefill_tpu.ops.quant import gn_quant_qualifies, gn_quant_rowwise
+
+            if gn_quant_qualifies(h, w, c):
+                xn, xq, sc = gn_quant_rowwise(x, gs, gb, num_groups=32, eps=1e-6)
+                x = self.proj_in(
+                    xn.reshape(b, h * w, c),
+                    xq.reshape(b, h * w, c),
+                    sc.reshape(b, h * w, 1),
+                )
+                fused_gnq = True
+        if not fused_gnq:
+            x = group_norm32(x, gs, gb, num_groups=32, eps=1e-6)
+            if not self.use_linear:
+                x = self.proj_in(x)
+            x = x.reshape(b, h * w, x.shape[-1])
+            if self.use_linear:
+                x = self.proj_in(x)
         for i, blk in enumerate(self.blocks):
             extra = {"dup_to_context": True} if (dup_to_context and i == 0) else {}
             x = blk(

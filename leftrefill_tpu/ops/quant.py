@@ -707,6 +707,74 @@ def ln_quant_rowwise(
     )
 
 
+def _gn_affine_quant_kernel(x_ref, a_ref, b_ref, xn_ref, xq_ref, sc_ref):
+    x = x_ref[0].astype(jnp.float32)  # [blk_h, blk_w, C]
+    a = a_ref[0, 0]  # [C]
+    bb = b_ref[0, 0]
+    y = x * a[None, None] + bb[None, None]
+    xn_ref[0] = y.astype(xn_ref.dtype)
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)       # [blk_h, blk_w, 1]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq_ref[0] = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
+    sc_ref[0] = scale
+
+
+def gn_quant_qualifies(h: int, w: int, c: int, num_groups: int = 32) -> bool:
+    from leftrefill_tpu.ops.conv import on_tpu
+
+    return on_tpu() and c % num_groups == 0 and w % 8 == 0
+
+
+def gn_quant_rowwise(
+    x: jax.Array,       # [B, H, W, C] bf16
+    gamma: jax.Array,   # [C]
+    beta: jax.Array,    # [C]
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused GroupNorm32 + per-row (per-pixel) int8 quantization for the
+    SpatialTransformer norm -> proj_in site (attention.py:355-363): GN
+    statistics fold to per-channel affine vectors (fp32, _gn_affine_ab), one
+    Pallas pass then writes (x_norm, xq, scales [B,H,W,1]) — replacing the
+    GN pass + the two quantize reads.  Caller must check gn_quant_qualifies.
+
+    Inference-only, like ln_quant_rowwise."""
+    b, h, w, c = x.shape
+    xf32 = x.astype(jnp.float32)
+    m_c = jnp.mean(xf32, axis=(1, 2))
+    q_c = jnp.mean(xf32 * xf32, axis=(1, 2))
+    a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, None, None)
+    blk_h, blk_w = _plan_affine_blocks(h, w, c)
+    a3 = a.reshape(b, 1, c)
+    bb3 = bb.reshape(b, 1, c)
+    xn, xq, sc = pl.pallas_call(
+        _gn_affine_quant_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((b, h, w, c), jnp.int8),
+            jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32),
+        ],
+        grid=(b, h // blk_h, w // blk_w),
+        in_specs=[
+            pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_h, blk_w, 1), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * x.size,
+            bytes_accessed=x.size * x.dtype.itemsize * 2 + x.size,
+            transcendentals=0,
+        ),
+    )(x, a3, bb3)
+    return xn, xq, sc
+
+
 def _gn_affine_ab(
     m_c: jax.Array,        # [B, C] per-channel spatial mean
     q_c: jax.Array,        # [B, C] per-channel spatial E[x^2]

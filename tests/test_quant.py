@@ -738,3 +738,35 @@ def test_transformer_block_lnq_matches_unfused(monkeypatch):
         unfused = np.asarray(blk.apply({"params": qp}, x, ctx), np.float32)
     rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
     assert rel < 0.05, rel
+
+
+def test_spatial_transformer_gnq_matches_unfused(monkeypatch):
+    """SpatialTransformer int8 with the fused GN+quant proj_in prologue ==
+    the unfused chain, identical param tree (norm/{scale,bias} preserved)."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import SpatialTransformer
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    b, h, w, c = 1, 8, 16, 128
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
+    ctx = jnp.asarray(rng.randn(b, 77, 96).astype(np.float32), jnp.bfloat16)
+    st = SpatialTransformer(
+        in_channels=c, n_heads=4, d_head=32, depth=1, context_dim=96,
+        dtype=jnp.bfloat16, quant=True,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("LEFTREFILL_FUSED_LNQ", "1")
+        params = st.init(jax.random.PRNGKey(0), x, ctx)["params"]
+        assert "scale" in params["norm"] and "bias" in params["norm"]
+        q_struct = jax.eval_shape(st.init, jax.random.PRNGKey(0), x, ctx)["params"]
+        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
+        fused = np.asarray(st.apply({"params": qp}, x, ctx), np.float32)
+
+        monkeypatch.setenv("LEFTREFILL_FUSED_LNQ", "0")
+        p2 = st.init(jax.random.PRNGKey(0), x, ctx)["params"]
+        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
+        unfused = np.asarray(st.apply({"params": qp}, x, ctx), np.float32)
+    rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
+    assert rel < 0.05, rel
