@@ -625,8 +625,11 @@ def _plan_ln_rows(r: int, c: int) -> Optional[int]:
     """Row-block size for the fused LN+quant kernel: multiple of 32 (the int8
     sublane tile) dividing r, sized so the resident fp32 compute tile stays
     well under scoped VMEM."""
+    # ~22 bytes/elem live in VMEM (bf16 in+out + int8 out, double-buffered,
+    # plus ~3 fp32 compute temps on the scoped stack) — keep blocks under
+    # ~8MB of that footprint
     for blk in (512, 256, 128, 64, 32):
-        if r % blk == 0 and blk * c * 10 <= 8 * 1024 * 1024:
+        if r % blk == 0 and blk * c * 22 <= 8 * 1024 * 1024:
             return blk
     return None
 
