@@ -79,14 +79,16 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
         import os
 
         lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
+        i8 = lnq and self._int8_active()
 
         def attn1_pre(t):
             """norm1 -> attn1 -> +residual, with the fused LN+quant prenorm
             when available (mirrors BasicTransformerBlock)."""
             if lnq:
-                tn, tq, ts = self.norm1(t, quant_rowwise=True)
+                tn, tq, ts = self.norm1(t, quant_rowwise=True, norm_out=not i8)
                 return self.attn1(
-                    tn, pre_quant=(tq, ts) if tq is not None else None
+                    tn if tn is not None else tq,
+                    pre_quant=(tq, ts) if tq is not None else None,
                 ) + t
             return self.attn1(self.norm1(t)) + t
 
@@ -121,12 +123,19 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
             x = xs.reshape(bv, hw, c)
 
         if lnq:
-            xn, xq, sx = self.norm2(x, quant_rowwise=True)
+            xn, xq, sx = self.norm2(x, quant_rowwise=True, norm_out=not i8)
             pq = (xq, sx) if xq is not None else None
-            x = self.attn2(xn, context, kv=cross_kv, pre_quant=pq) + x
-            xn, xq, sx = self.norm3(x, quant_rowwise=True)
+            x = self.attn2(xn if xn is not None else xq, context, kv=cross_kv,
+                           pre_quant=pq) + x
+            from leftrefill_tpu.ops.mlp import geglu_fused_qualifies
+
+            r = int(x.shape[0] * x.shape[1])
+            ff_i8 = i8 and self.dtype == jnp.bfloat16 and geglu_fused_qualifies(
+                r, self.dim, 4 * self.dim, self.dim, True
+            )
+            xn, xq, sx = self.norm3(x, quant_rowwise=True, norm_out=not ff_i8)
             pq = (xq, sx) if xq is not None else None
-            x = self.ff(xn, res=x, pre_quant=pq)
+            x = self.ff(xn if xn is not None else xq, res=x, pre_quant=pq)
         else:
             x = self.attn2(self.norm2(x), context, kv=cross_kv) + x
             x = self.ff(self.norm3(x), res=x)

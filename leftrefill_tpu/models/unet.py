@@ -266,11 +266,13 @@ class LayerNormF32(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, quant_rowwise: bool = False):
+    def __call__(self, x: jax.Array, quant_rowwise: bool = False, norm_out: bool = True):
         """``quant_rowwise``: also return the per-row int8 quantization of the
         normalized output — (x_norm, xq, scales), fused into one Pallas pass
         on TPU (ops/quant.ln_quant_rowwise), (x_norm, None, None) when the
-        fused kernel has no plan (caller computes its own quantization)."""
+        fused kernel has no plan (caller computes its own quantization).
+        ``norm_out=False``: the caller's consumers are all int8 — skip even
+        the bf16 x_norm HBM write ((None, xq, scales))."""
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
@@ -279,7 +281,7 @@ class LayerNormF32(nn.Module):
 
             r = int(np.prod(x.shape[:-1]))
             if x.dtype == jnp.bfloat16 and ln_quant_qualifies(r, dim):
-                return ln_quant_rowwise(x, scale, bias, eps=self.eps)
+                return ln_quant_rowwise(x, scale, bias, eps=self.eps, norm_out=norm_out)
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -787,6 +789,17 @@ class BasicTransformerBlock(nn.Module):
             x_norm, context if self.disable_self_attn else None, pre_quant=pre_quant
         )
 
+    def _int8_active(self) -> bool:
+        """True when the int8 param tree is loaded (inference after
+        quantize_params_like) — the prenorm's bf16 output is then dead, so
+        the fused LN+quant kernel skips even that HBM write.  False during
+        init / fp runs (child params absent or fp32)."""
+        try:
+            k = self.attn1.to_q.get_variable("params", "kernel")
+            return k is not None and k.dtype == jnp.int8
+        except Exception:
+            return False
+
     def cross_kv(self, context: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Precompute attn2's (k, v) for a fixed context (the conditioning KV
         cache; attn1 is self-attention in every shipped config and always
@@ -810,22 +823,36 @@ class BasicTransformerBlock(nn.Module):
         # fused LN+rowwise-quant prenorms (one Pallas pass feeds both the
         # attention projections and the FF kernel their int8 activations)
         lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
+        # with the int8 tree loaded every prenorm consumer reads the int8
+        # side, so the kernels skip the bf16 x_norm HBM write entirely (the
+        # int8 xq stands in for shape-probing arguments)
+        i8 = lnq and self._int8_active()
         if lnq:
-            xn, xq, sx = self.norm1(x, quant_rowwise=True)
+            xn, xq, sx = self.norm1(x, quant_rowwise=True, norm_out=not i8)
             pq = (xq, sx) if xq is not None else None
-            x = self.self_attend(xn, context, pre_quant=pq) + x
+            x = self.self_attend(xn if xn is not None else xq, context,
+                                 pre_quant=pq) + x
         else:
             x = self.self_attend(self.norm1(x), context) + x
         if dup_to_context:
             x = jnp.concatenate([x, x], axis=0)
         if lnq:
-            xn, xq, sx = self.norm2(x, quant_rowwise=True)
+            xn, xq, sx = self.norm2(x, quant_rowwise=True, norm_out=not i8)
             pq = (xq, sx) if xq is not None else None
-            x = self.attn2(xn, context, return_attn=return_attn, kv=cross_kv,
+            x = self.attn2(xn if xn is not None else xq, context,
+                           return_attn=return_attn, kv=cross_kv,
                            pre_quant=pq) + x
-            xn, xq, sx = self.norm3(x, quant_rowwise=True)
+            # ff falls back to x when its fused int8 kernel has no plan, so
+            # only drop the norm output when that kernel will run
+            from leftrefill_tpu.ops.mlp import geglu_fused_qualifies
+
+            r = int(np.prod(x.shape[:-1]))
+            ff_i8 = i8 and self.dtype == jnp.bfloat16 and geglu_fused_qualifies(
+                r, self.dim, 4 * self.dim, self.dim, True
+            )
+            xn, xq, sx = self.norm3(x, quant_rowwise=True, norm_out=not ff_i8)
             pq = (xq, sx) if xq is not None else None
-            x = self.ff(xn, res=x, pre_quant=pq)
+            x = self.ff(xn if xn is not None else xq, res=x, pre_quant=pq)
         else:
             x = self.attn2(self.norm2(x), context, return_attn=return_attn,
                            kv=cross_kv) + x
@@ -917,9 +944,16 @@ class SpatialTransformer(nn.Module):
             from leftrefill_tpu.ops.quant import gn_quant_qualifies, gn_quant_rowwise
 
             if gn_quant_qualifies(h, w, c):
-                xn, xq, sc = gn_quant_rowwise(x, gs, gb, num_groups=32, eps=1e-6)
+                try:
+                    k = self.proj_in.get_variable("params", "kernel")
+                    i8 = k is not None and k.dtype == jnp.int8
+                except Exception:
+                    i8 = False
+                xn, xq, sc = gn_quant_rowwise(
+                    x, gs, gb, num_groups=32, eps=1e-6, norm_out=not i8
+                )
                 x = self.proj_in(
-                    xn.reshape(b, h * w, c),
+                    (xn if xn is not None else xq).reshape(b, h * w, c),
                     xq.reshape(b, h * w, c),
                     sc.reshape(b, h * w, 1),
                 )

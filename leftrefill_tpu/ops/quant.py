@@ -640,7 +640,12 @@ def ln_quant_qualifies(r: int, c: int) -> bool:
     return on_tpu() and _plan_ln_rows(r, c) is not None
 
 
-def _ln_quant_kernel(x_ref, g_ref, b_ref, xn_ref, xq_ref, sc_ref, *, eps):
+def _ln_quant_kernel(*refs, eps, norm_out):
+    if norm_out:
+        x_ref, g_ref, b_ref, xn_ref, xq_ref, sc_ref = refs
+    else:
+        x_ref, g_ref, b_ref, xq_ref, sc_ref = refs
+        xn_ref = None
     xf = x_ref[...].astype(jnp.float32)                       # [blk_r, C]
     m = jnp.mean(xf, axis=-1, keepdims=True)
     d = xf - m
@@ -648,7 +653,8 @@ def _ln_quant_kernel(x_ref, g_ref, b_ref, xn_ref, xq_ref, sc_ref, *, eps):
     y = d * jax.lax.rsqrt(v + eps) * g_ref[0].astype(jnp.float32) + b_ref[
         0
     ].astype(jnp.float32)
-    xn_ref[...] = y.astype(xn_ref.dtype)
+    if xn_ref is not None:
+        xn_ref[...] = y.astype(xn_ref.dtype)
     amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)        # [blk_r, 1]
     scale = jnp.maximum(amax, 1e-8) / 127.0
     xq_ref[...] = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
@@ -660,7 +666,8 @@ def ln_quant_rowwise(
     gamma: jax.Array,   # [C]
     beta: jax.Array,    # [C]
     eps: float = 1e-5,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    norm_out: bool = True,
+) -> tuple[Optional[jax.Array], jax.Array, jax.Array]:
     """Fused fp32-island LayerNorm + per-row symmetric int8 quantization:
     one HBM read of x, writes (x_norm, xq, scales) — replaces the unfused
     LayerNormF32 -> quantize_activation_rowwise chain (2 extra full-tensor
@@ -679,43 +686,48 @@ def ln_quant_rowwise(
     g2 = gamma.astype(jnp.float32).reshape(1, c)
     b2 = beta.astype(jnp.float32).reshape(1, c)
     out_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
-    xn, xq, sc = pl.pallas_call(
-        functools.partial(_ln_quant_kernel, eps=eps),
-        out_shape=[
-            jax.ShapeDtypeStruct((r, c), out_dtype),
-            jax.ShapeDtypeStruct((r, c), jnp.int8),
-            jax.ShapeDtypeStruct((r, 1), jnp.float32),
-        ],
+    big = pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((r, c), jnp.int8),
+        jax.ShapeDtypeStruct((r, 1), jnp.float32),
+    ]
+    out_specs = [big, pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    if norm_out:
+        out_shape.insert(0, jax.ShapeDtypeStruct((r, c), out_dtype))
+        out_specs.insert(0, big)
+    outs = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps, norm_out=norm_out),
+        out_shape=out_shape,
         grid=(r // blk,),
         in_specs=[
-            pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            big,
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=10 * x.size,
-            bytes_accessed=x.size * x.dtype.itemsize * 2 + x.size,
+            bytes_accessed=x.size * x.dtype.itemsize * (2 if norm_out else 1) + x.size,
             transcendentals=0,
         ),
     )(x2, g2, b2)
-    return (
-        xn.reshape(*lead, c),
-        xq.reshape(*lead, c),
-        sc.reshape(*lead, 1),
-    )
+    xn = outs[0].reshape(*lead, c) if norm_out else None
+    xq, sc = outs[-2], outs[-1]
+    return xn, xq.reshape(*lead, c), sc.reshape(*lead, 1)
 
 
-def _gn_affine_quant_kernel(x_ref, a_ref, b_ref, xn_ref, xq_ref, sc_ref):
+def _gn_affine_quant_kernel(*refs, norm_out):
+    if norm_out:
+        x_ref, a_ref, b_ref, xn_ref, xq_ref, sc_ref = refs
+    else:
+        x_ref, a_ref, b_ref, xq_ref, sc_ref = refs
+        xn_ref = None
     x = x_ref[0].astype(jnp.float32)  # [blk_h, blk_w, C]
     a = a_ref[0, 0]  # [C]
     bb = b_ref[0, 0]
     y = x * a[None, None] + bb[None, None]
-    xn_ref[0] = y.astype(xn_ref.dtype)
+    if xn_ref is not None:
+        xn_ref[0] = y.astype(xn_ref.dtype)
     amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)       # [blk_h, blk_w, 1]
     scale = jnp.maximum(amax, 1e-8) / 127.0
     xq_ref[0] = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
@@ -735,7 +747,8 @@ def gn_quant_rowwise(
     *,
     num_groups: int = 32,
     eps: float = 1e-6,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    norm_out: bool = True,
+) -> tuple[Optional[jax.Array], jax.Array, jax.Array]:
     """Fused GroupNorm32 + per-row (per-pixel) int8 quantization for the
     SpatialTransformer norm -> proj_in site (attention.py:355-363): GN
     statistics fold to per-channel affine vectors (fp32, _gn_affine_ab), one
@@ -751,31 +764,39 @@ def gn_quant_rowwise(
     blk_h, blk_w = _plan_affine_blocks(h, w, c)
     a3 = a.reshape(b, 1, c)
     bb3 = bb.reshape(b, 1, c)
-    xn, xq, sc = pl.pallas_call(
-        _gn_affine_quant_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-            jax.ShapeDtypeStruct((b, h, w, c), jnp.int8),
-            jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32),
-        ],
+    big = pl.BlockSpec(
+        (1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w, c), jnp.int8),
+        jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32),
+    ]
+    out_specs = [
+        big,
+        pl.BlockSpec(
+            (1, blk_h, blk_w, 1), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if norm_out:
+        out_shape.insert(0, jax.ShapeDtypeStruct((b, h, w, c), x.dtype))
+        out_specs.insert(0, big)
+    outs = pl.pallas_call(
+        functools.partial(_gn_affine_quant_kernel, norm_out=norm_out),
+        out_shape=out_shape,
         grid=(b, h // blk_h, w // blk_w),
         in_specs=[
-            pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
+            big,
             pl.BlockSpec((1, 1, c), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_h, blk_w, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_h, blk_w, 1), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=6 * x.size,
-            bytes_accessed=x.size * x.dtype.itemsize * 2 + x.size,
+            bytes_accessed=x.size * x.dtype.itemsize * (2 if norm_out else 1) + x.size,
             transcendentals=0,
         ),
     )(x, a3, bb3)
-    return xn, xq, sc
+    return (outs[0] if norm_out else None), outs[-2], outs[-1]
 
 
 def _gn_affine_ab(
