@@ -429,17 +429,24 @@ class ResBlock(nn.Module):
                 hh, ww, self.out_channels, self.out_channels, g2
             ):
                 fused = True
+                # conv1's epilogue emits the per-channel (Σh, Σh²) so the
+                # second GN skips its own full-tensor moments read
+                emit = os.environ.get("LEFTREFILL_CONV_MOMENTS", "1") != "0"
+                mom = None
                 if parts is not None:
                     h = gn_silu_conv3x3_int8_cat2(
                         parts[0].astype(self.dtype), parts[1].astype(self.dtype),
                         g1s, g1b, k1, s1, c1b, num_groups=g1,
-                        out_dtype=self.dtype,
+                        out_dtype=self.dtype, emit_moments=emit,
                     )
                 else:
                     h = gn_silu_conv3x3_int8(
                         x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
-                        num_groups=g1, out_dtype=self.dtype,
+                        num_groups=g1, out_dtype=self.dtype, emit_moments=emit,
                     )
+                if emit:
+                    h, mom = h
+                    mom = (mom[:, 0], mom[:, 1])
                 # residual add fused into the out-conv epilogue (saves one
                 # HBM round-trip of h per block, openaimodel.py:273)
                 if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0":
@@ -465,12 +472,12 @@ class ResBlock(nn.Module):
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
                         scale_shift=(scale, shift), out_dtype=self.dtype,
-                        res=skip,
+                        res=skip, moments=mom,
                     )
                 else:
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
-                        emb=emb_out, out_dtype=self.dtype, res=skip,
+                        emb=emb_out, out_dtype=self.dtype, res=skip, moments=mom,
                     )
                 if skip is not None:
                     return h

@@ -165,12 +165,15 @@ def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024), res=False):
     return best
 
 
-def _conv_int8_single_kernel(*refs, has_res: bool = False):
-    if has_res:
-        xp_ref, w_ref, sc_ref, b_ref, res_ref, o_ref, acc_ref = refs
+def _conv_int8_single_kernel(*refs, has_res: bool = False, emit_moments: bool = False):
+    refs = list(refs)
+    xp_ref, w_ref, sc_ref, b_ref = refs[:4]
+    rest = refs[4:]
+    res_ref = rest.pop(0) if has_res else None
+    if emit_moments:
+        o_ref, mom_ref, acc_ref = rest
     else:
-        xp_ref, w_ref, sc_ref, b_ref, o_ref, acc_ref = refs
-        res_ref = None
+        (o_ref, acc_ref), mom_ref = rest, None
     ci = pl.program_id(2)
 
     @pl.when(ci == 0)
@@ -195,7 +198,13 @@ def _conv_int8_single_kernel(*refs, has_res: bool = False):
         r = r.reshape(h, wd, o_ref.shape[3])
         if res_ref is not None:
             r = r + res_ref[0].astype(jnp.float32)
-        o_ref[0] = r.astype(o_ref.dtype)
+        rb = r.astype(o_ref.dtype)
+        o_ref[0] = rb
+        if mom_ref is not None:
+            rf = rb.astype(jnp.float32)
+            s1 = jnp.sum(rf, axis=(0, 1))[None, :]
+            s2 = jnp.sum(rf * rf, axis=(0, 1))[None, :]
+            mom_ref[0] = jnp.concatenate([s1, s2], axis=0)  # [2, bco]
 
 
 def conv3x3_int8_single(
@@ -220,10 +229,12 @@ def conv3x3_int8_single_pre(
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
     res: Optional[jax.Array] = None,
-) -> jax.Array:
+    emit_moments: bool = False,
+):
     """single-input kernel on a PRE-quantized activation.  ``res`` [B,H,W,CO]
     fuses a residual add into the epilogue (out = conv + res), skipping one
-    HBM write+read of the conv result per ResBlock (openaimodel.py:273)."""
+    HBM write+read of the conv result per ResBlock (openaimodel.py:273).
+    ``emit_moments``: also return [B, 2, CO] per-channel (Σout, Σout²)."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
     plan = _plan_int8_single(h, wd, ci, co, res=res is not None)
@@ -262,12 +273,26 @@ def conv3x3_int8_single_pre(
         in_specs.append(o_spec)
         operands.append(res)
 
+    out_shape = jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype)
+    out_specs = o_spec
+    if emit_moments:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 2, co_eff), jnp.float32)]
+        out_specs = [
+            o_spec,
+            pl.BlockSpec(
+                (1, 2, bco), lambda bi, coj, cij: (bi, 0, coj),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
     out = pl.pallas_call(
-        functools.partial(_conv_int8_single_kernel, has_res=res is not None),
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype),
+        functools.partial(
+            _conv_int8_single_kernel, has_res=res is not None,
+            emit_moments=emit_moments,
+        ),
+        out_shape=out_shape,
         grid=(b, co_eff // bco, ci_eff // bci),
         in_specs=in_specs,
-        out_specs=o_spec,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((h * wd, bco), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci_eff * co_eff,
@@ -275,6 +300,11 @@ def conv3x3_int8_single_pre(
             transcendentals=0,
         ),
     )(*operands)
+    if emit_moments:
+        out, mom = out
+        if co_eff != co:
+            out, mom = out[..., :co], mom[..., :co]
+        return out, mom
     return out[..., :co] if co_eff != co else out
 
 
@@ -299,12 +329,17 @@ def set_int8_tap_mode(mode: str) -> None:
     _INT8_TAP_MODE = mode
 
 
-def _conv_int8_kernel(*refs, has_res: bool = False, tap_mode: str = "sum9"):
-    if has_res:
-        x0, x1, x2, w_ref, sc_ref, b_ref, res_ref, o_ref, acc_ref = refs
+def _conv_int8_kernel(
+    *refs, has_res: bool = False, tap_mode: str = "sum9", emit_moments: bool = False
+):
+    refs = list(refs)
+    x0, x1, x2, w_ref, sc_ref, b_ref = refs[:6]
+    rest = refs[6:]
+    res_ref = rest.pop(0) if has_res else None
+    if emit_moments:
+        o_ref, mom_ref, acc_ref = rest
     else:
-        x0, x1, x2, w_ref, sc_ref, b_ref, o_ref, acc_ref = refs
-        res_ref = None
+        (o_ref, acc_ref), mom_ref = rest, None
     ci = pl.program_id(3)
 
     @pl.when(ci == 0)
@@ -357,7 +392,24 @@ def _conv_int8_kernel(*refs, has_res: bool = False, tap_mode: str = "sum9"):
         r = r.reshape(h, blk_w, o_ref.shape[3])
         if res_ref is not None:
             r = r + res_ref[0].astype(jnp.float32)
-        o_ref[0] = r.astype(o_ref.dtype)
+        rb = r.astype(o_ref.dtype)
+        o_ref[0] = rb
+        if mom_ref is not None:
+            # per-channel spatial sums of the ROUNDED output (what a GN
+            # consumer would read back) — accumulated across the wj grid dim
+            # (block index constant over (wj, ci), so the tile stays resident)
+            rf = rb.astype(jnp.float32)
+            s1 = jnp.sum(rf, axis=(0, 1))[None, :]       # [1, blk_co]
+            s2 = jnp.sum(rf * rf, axis=(0, 1))[None, :]
+            mom = jnp.concatenate([s1, s2], axis=0)       # [2, blk_co]
+
+            @pl.when(pl.program_id(2) == 0)
+            def _init():
+                mom_ref[0] = mom
+
+            @pl.when(pl.program_id(2) != 0)
+            def _acc():
+                mom_ref[0] += mom
 
 
 def conv3x3_int8(
@@ -415,10 +467,15 @@ def conv3x3_int8_copy3_pre(
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
     res: Optional[jax.Array] = None,
-) -> jax.Array:
+    emit_moments: bool = False,
+):
     """copy3 kernel on a PRE-quantized activation (xq int8, sx scalar f32) —
     lets the fused GN+SiLU+quantize prologue feed the conv directly.
-    ``res`` [B,H,W,CO] fuses a residual add into the epilogue."""
+    ``res`` [B,H,W,CO] fuses a residual add into the epilogue.
+    ``emit_moments``: also return the per-channel spatial sums
+    [B, 2, CO] (Σout, Σout²) of the written output, accumulated in the
+    epilogue — a downstream GroupNorm consumer then skips its own
+    full-tensor moments read."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
     plan = _plan_int8(h, wd, ci, co, res=res is not None)
@@ -466,14 +523,26 @@ def conv3x3_int8_copy3_pre(
     if res is not None:
         in_specs.append(o_spec)
         operands.append(res)
+    out_shape = jax.ShapeDtypeStruct((b, h, wd, co), out_dtype)
+    out_specs = o_spec
+    if emit_moments:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 2, co), jnp.float32)]
+        out_specs = [
+            o_spec,
+            pl.BlockSpec(
+                (1, 2, blk_co), lambda bi, coj, wj, cij: (bi, 0, coj),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
     out = pl.pallas_call(
         functools.partial(
-            _conv_int8_kernel, has_res=res is not None, tap_mode=_INT8_TAP_MODE
+            _conv_int8_kernel, has_res=res is not None, tap_mode=_INT8_TAP_MODE,
+            emit_moments=emit_moments,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, co), out_dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=o_spec,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((h * blk_w, blk_co), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci * co,
@@ -849,7 +918,9 @@ def gn_silu_conv3x3_int8(
     scale_shift: Optional[tuple] = None,      # (s [B,C], t [B,C]): GN(h)*(1+s)+t
     out_dtype=jnp.bfloat16,
     res: Optional[jax.Array] = None,          # [B,H,W,CO]: fused residual add
-) -> jax.Array:
+    moments: Optional[tuple] = None,          # (Σx, Σx²) [B,C] from upstream
+    emit_moments: bool = False,               # also return (Σout, Σout²)
+):
     """Fused GroupNorm32 + (emb-add | scale-shift) + SiLU + int8-quantize +
     3x3 int8 conv — the ResBlock conv stack (openaimodel.py:162-274) with the
     fp32-statistics island intact.  ``res`` adds the ResBlock skip tensor in
@@ -860,11 +931,20 @@ def gn_silu_conv3x3_int8(
     with e per (b,c) constant over space, group mean' = mean_g(m_c + e_c) and
     E[(h+e)^2] = q_c + 2 e_c m_c + e_c^2 from the per-channel spatial moments
     (m_c, q_c) — two tiny [B,C] reductions of x are the only XLA work.
-    """
+
+    ``moments``: per-channel spatial SUMS (Σx, Σx²) [B, C] of x emitted by an
+    upstream conv epilogue (``emit_moments=True``) — skips this call's own
+    full-tensor moments read.  ``emit_moments``: this call's conv emits the
+    same for ITS output; the return becomes (out, (Σout, Σout²))."""
     b, h, w, c = x.shape
     xf32 = x.astype(jnp.float32)
-    m_c = jnp.mean(xf32, axis=(1, 2))            # [B, C] spatial mean
-    q_c = jnp.mean(xf32 * xf32, axis=(1, 2))     # [B, C] spatial E[x^2]
+    if moments is not None:
+        n = float(h * w)
+        m_c = moments[0].astype(jnp.float32) / n
+        q_c = moments[1].astype(jnp.float32) / n
+    else:
+        m_c = jnp.mean(xf32, axis=(1, 2))            # [B, C] spatial mean
+        q_c = jnp.mean(xf32 * xf32, axis=(1, 2))     # [B, C] spatial E[x^2]
     a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, emb, scale_shift)
 
     # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce (no
@@ -878,14 +958,27 @@ def gn_silu_conv3x3_int8(
     co = wq.shape[-1]
     want_res = res is not None
     if _plan_int8(h, w, c, co, res=want_res) is not None:
-        return conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype, res=res)
+        return conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype,
+                                      res=res, emit_moments=emit_moments)
     if _plan_int8_single(h, w, c, co, res=want_res) is not None:
-        return conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype, res=res)
+        return conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype,
+                                       res=res, emit_moments=emit_moments)
     # no plan fits with the residual block resident: fall back to a separate add
     if _plan_int8(h, w, c, co) is not None:
-        out = conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype)
+        out = conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype,
+                                     emit_moments=emit_moments)
     else:
-        out = conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype)
+        out = conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype,
+                                      emit_moments=emit_moments)
+    if emit_moments:
+        out, mom = out
+        if want_res:
+            # moments were taken pre-res-add: recompute invalid — fall back
+            # to consuming them downstream is wrong, so just drop this
+            # combination (callers never request it: the res add is the
+            # LAST ResBlock op, whose output feeds a non-GN consumer)
+            raise ValueError("emit_moments with an unfused residual add is unsupported")
+        return out, mom
     return out + res.astype(out.dtype) if want_res else out
 
 
@@ -908,7 +1001,8 @@ def gn_silu_conv3x3_int8_cat2(
     scale_shift: Optional[tuple] = None,
     out_dtype=jnp.bfloat16,
     res: Optional[jax.Array] = None,
-) -> jax.Array:
+    emit_moments: bool = False,
+):
     """gn_silu_conv3x3_int8 over a VIRTUAL channel concat [x1 ‖ x2] — the
     decoder skip cat (openaimodel.py:760, `th.cat([h, hs.pop()], dim=1)`)
     without ever materializing the concatenated tensor in HBM:
@@ -941,7 +1035,7 @@ def gn_silu_conv3x3_int8_cat2(
         return gn_silu_conv3x3_int8(
             jnp.concatenate([x1, x2], axis=-1), gamma, beta, wq, w_scale, bias,
             num_groups=num_groups, eps=eps, emb=emb, scale_shift=scale_shift,
-            out_dtype=out_dtype, res=res,
+            out_dtype=out_dtype, res=res, emit_moments=emit_moments,
         )
 
     f1 = x1.astype(jnp.float32)
@@ -964,16 +1058,19 @@ def gn_silu_conv3x3_int8_cat2(
     xq1 = affine_silu_quant(x1, a1, b1, inv)
     xq2 = affine_silu_quant(x2, a2, b2, inv)
 
-    def conv_part(xq, wpart, bias_, res_):
+    def conv_part(xq, wpart, bias_, res_, emit=False):
         ci_ = xq.shape[-1]
         if _plan_int8(h, w, ci_, co, res=res_ is not None) is not None:
             return conv3x3_int8_copy3_pre(xq, scale, wpart, w_scale, bias_,
-                                          out_dtype, res=res_)
+                                          out_dtype, res=res_, emit_moments=emit)
         return conv3x3_int8_single_pre(xq, scale, wpart, w_scale, bias_,
-                                       out_dtype, res=res_)
+                                       out_dtype, res=res_, emit_moments=emit)
 
     out1 = conv_part(xq1, wq[:, :, :c1], bias, res)
-    return conv_part(xq2, wq[:, :, c1:], jnp.zeros_like(bias), out1)
+    # the second part's epilogue sees the FINAL sum (res chained), so its
+    # moments are the moments of the true output
+    return conv_part(xq2, wq[:, :, c1:], jnp.zeros_like(bias), out1,
+                     emit=emit_moments)
 
 
 # ---------------------------------------------------------------------------

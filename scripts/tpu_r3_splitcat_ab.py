@@ -49,12 +49,20 @@ def fwd(c, p, tt, ctx):
     return jnp.concatenate([o, o, c[..., :1]], axis=-1) * 1e-3 + c * 0.999
 
 
-for cat_flag, lnq_flag in (("0", "0"), ("1", "0"), ("1", "1"), ("0", "1")):
+for cat_flag, lnq_flag, mom_flag in (
+    ("0", "0", "0"),
+    ("1", "0", "0"),
+    ("1", "1", "0"),
+    ("1", "1", "1"),
+    ("0", "1", "1"),
+):
     os.environ["LEFTREFILL_SPLIT_CAT"] = cat_flag
     os.environ["LEFTREFILL_FUSED_LNQ"] = lnq_flag
+    os.environ["LEFTREFILL_CONV_MOMENTS"] = mom_flag
     t = timed(fwd, xin, params, tt, ctx)
     print(
-        f"UNet fwd b2 int8 SPLIT_CAT={cat_flag} LNQ={lnq_flag}: {t*1e3:.2f} ms",
+        f"UNet fwd b2 int8 SPLIT_CAT={cat_flag} LNQ={lnq_flag} "
+        f"MOMENTS={mom_flag}: {t*1e3:.2f} ms",
         flush=True,
     )
 

@@ -770,3 +770,60 @@ def test_spatial_transformer_gnq_matches_unfused(monkeypatch):
         unfused = np.asarray(st.apply({"params": qp}, x, ctx), np.float32)
     rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("kind", ["copy3", "single"])
+def test_int8_conv_emit_moments_matches_output_sums(kind):
+    """emit_moments returns the per-channel (Σout, Σout²) of the written
+    output, accumulated across the column-block grid."""
+    from leftrefill_tpu.ops.quant import (
+        conv3x3_int8_copy3_pre,
+        conv3x3_int8_single_pre,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(23), 3)
+    b, h, w, ci, co = 2, 16, 32, 128, 128
+    xq = jax.random.randint(ks[0], (b, h, w, ci), -7, 8, jnp.int8)
+    wq = jax.random.randint(ks[1], (3, 3, ci, co), -7, 8, jnp.int8)
+    ws = jnp.full((co,), 1e-2, jnp.float32)
+    bias = jax.random.normal(ks[2], (co,), jnp.float32) * 0.1
+    sx = jnp.float32(1e-2)
+    fn = conv3x3_int8_copy3_pre if kind == "copy3" else conv3x3_int8_single_pre
+    with pltpu.force_tpu_interpret_mode():
+        out, mom = fn(xq, sx, wq, ws, bias, jnp.float32, emit_moments=True)
+        base = fn(xq, sx, wq, ws, bias, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    of = np.asarray(out, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(mom[:, 0]), of.sum(axis=(1, 2)), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(mom[:, 1]), (of * of).sum(axis=(1, 2)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_resblock_conv_moments_matches_recompute(monkeypatch):
+    """ResBlock with LEFTREFILL_CONV_MOMENTS=1 (second GN consumes the conv1
+    epilogue's moments) == the same block recomputing moments from h."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import ResBlock
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    b, h, w, c = 1, 16, 32, 128
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
+    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
+    block = ResBlock(out_channels=c, dtype=jnp.bfloat16, quant=True)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("LEFTREFILL_CONV_MOMENTS", "1")
+        params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), x, emb)["params"]
+        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
+        with_mom = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
+        monkeypatch.setenv("LEFTREFILL_CONV_MOMENTS", "0")
+        p2 = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
+        without = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
+    rel = np.abs(with_mom - without).max() / max(np.abs(without).max(), 1e-6)
+    assert rel < 0.03, rel
