@@ -376,7 +376,11 @@ class ResBlock(nn.Module):
     quant: bool = False  # W8A8 int8 on the two 3x3 convs (ops/quant.py)
 
     @nn.compact
-    def __call__(self, x, emb: jax.Array) -> jax.Array:
+    def __call__(self, x, emb: jax.Array, emit_moments: bool = False):
+        """``emit_moments``: also return the per-channel (Σout, Σout²) of the
+        block output when the fused int8 path produced them in the conv2
+        epilogue — (out, (s1, s2)) or (out, None).  The following
+        SpatialTransformer's GroupNorm consumes them (skips a full read)."""
         from leftrefill_tpu.ops.layers import adjust_groups, group_norm32
 
         # x may be a 2-tuple (h, skip): the decoder's channel concat
@@ -467,19 +471,28 @@ class ResBlock(nn.Module):
                         )(x)
                 else:
                     skip = None
+                # emit the BLOCK OUTPUT's moments (conv2 epilogue sees the
+                # fused skip add) for the following SpatialTransformer's GN
+                emit2 = emit_moments and skip is not None
                 if self.use_scale_shift_norm:
                     scale, shift = jnp.split(emb_out, 2, axis=-1)
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
                         scale_shift=(scale, shift), out_dtype=self.dtype,
-                        res=skip, moments=mom,
+                        res=skip, moments=mom, emit_moments=emit2,
                     )
                 else:
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
                         emb=emb_out, out_dtype=self.dtype, res=skip, moments=mom,
+                        emit_moments=emit2,
                     )
                 if skip is not None:
+                    if emit_moments:
+                        h, mom2 = h if emit2 else (h, None)
+                        return h, (
+                            (mom2[:, 0], mom2[:, 1]) if mom2 is not None else None
+                        )
                     return h
 
         if parts is not None:
@@ -515,11 +528,13 @@ class ResBlock(nn.Module):
                 )(x)
             if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0" and x.ndim == 4:
                 # residual fused into the out-conv epilogue where a plan fits
-                return conv3x3_forward(
+                out = conv3x3_forward(
                     h, k2, c2b, s2, self.dtype, self.quant, res=skip
                 )
+                return (out, None) if emit_moments else out
             h = conv3x3_forward(h, k2, c2b, s2, self.dtype, self.quant)
-            return skip.astype(h.dtype) + h
+            out = skip.astype(h.dtype) + h
+            return (out, None) if emit_moments else out
 
         # fused prologue path without the fused residual (RESADD=0)
         if self.out_channels == in_ch:
@@ -529,7 +544,8 @@ class ResBlock(nn.Module):
                 self.out_channels, dtype=self.dtype, name="skip_connection",
                 quant=self.quant,
             )(x)
-        return skip.astype(h.dtype) + h
+        out = skip.astype(h.dtype) + h
+        return (out, None) if emit_moments else out
 
 
 class _DenseParams(nn.Module):
@@ -933,8 +949,11 @@ class SpatialTransformer(nn.Module):
         context: Optional[jax.Array] = None,
         cross_kv: Optional[list] = None,
         dup_to_context: bool = False,
+        in_moments: Optional[tuple] = None,
         **kwargs,
     ) -> jax.Array:
+        """``in_moments``: (Σx, Σx²) [B,C] of x from the preceding ResBlock's
+        conv epilogue — the GN prologue then skips its own moments read."""
         b, h, w, c = x.shape
         context = self._slice_context(context)
         x_in = x
@@ -957,7 +976,8 @@ class SpatialTransformer(nn.Module):
                 except Exception:
                     i8 = False
                 xn, xq, sc = gn_quant_rowwise(
-                    x, gs, gb, num_groups=32, eps=1e-6, norm_out=not i8
+                    x, gs, gb, num_groups=32, eps=1e-6, norm_out=not i8,
+                    moments=in_moments,
                 )
                 x = self.proj_in(
                     (xn if xn is not None else xq).reshape(b, h * w, c),
@@ -1173,18 +1193,31 @@ class UNetModel(nn.Module):
         while on, h carries HALF the batch (the two CFG halves are identical
         until the first cross-attention consumes the context; see cfg_dup)."""
         dup_on = dup_state is not None and dup_state["on"]
-        for kind, layer in layers:
+        # moment chaining: a ResBlock followed by a SpatialTransformer hands
+        # the ST its output's per-channel (Σ, Σ²) from the conv2 epilogue, so
+        # the ST's GN prologue skips a full-tensor read (int8 path only)
+        chain = self.quant and os.environ.get("LEFTREFILL_CONV_MOMENTS", "1") != "0"
+        mom = None
+        for i, (kind, layer) in enumerate(layers):
             if kind == "res":
                 bsz = (h[0] if isinstance(h, tuple) else h).shape[0]
-                h = layer(h, emb[:bsz] if dup_on else emb)
+                e = emb[:bsz] if dup_on else emb
+                if chain and i + 1 < len(layers) and layers[i + 1][0] == "st":
+                    h, mom = layer(h, e, emit_moments=True)
+                else:
+                    h, mom = layer(h, e), None
             elif kind == "st":
                 kv = cross_kv.get(layer.name) if cross_kv is not None else None
                 extra = {"dup_to_context": True} if dup_on else {}
+                if mom is not None and not dup_on:
+                    extra["in_moments"] = mom
                 h = layer(h, context, cross_kv=kv, **extra, **kwargs)
+                mom = None
                 if dup_on:
                     dup_state["on"] = dup_on = False
             elif kind in ("conv", "resample"):
                 h = layer(h)
+                mom = None
             else:
                 raise ValueError(f"unknown layer kind {kind!r}")
         return h

@@ -817,18 +817,26 @@ def gn_quant_rowwise(
     num_groups: int = 32,
     eps: float = 1e-6,
     norm_out: bool = True,
+    moments: Optional[tuple] = None,   # (Σx, Σx²) [B,C] from an upstream conv
 ) -> tuple[Optional[jax.Array], jax.Array, jax.Array]:
     """Fused GroupNorm32 + per-row (per-pixel) int8 quantization for the
     SpatialTransformer norm -> proj_in site (attention.py:355-363): GN
     statistics fold to per-channel affine vectors (fp32, _gn_affine_ab), one
     Pallas pass then writes (x_norm, xq, scales [B,H,W,1]) — replacing the
     GN pass + the two quantize reads.  Caller must check gn_quant_qualifies.
+    ``moments``: per-channel spatial SUMS of x emitted by the preceding
+    ResBlock's conv epilogue — skips this call's own moments read too.
 
     Inference-only, like ln_quant_rowwise."""
     b, h, w, c = x.shape
-    xf32 = x.astype(jnp.float32)
-    m_c = jnp.mean(xf32, axis=(1, 2))
-    q_c = jnp.mean(xf32 * xf32, axis=(1, 2))
+    if moments is not None:
+        n = float(h * w)
+        m_c = moments[0].astype(jnp.float32) / n
+        q_c = moments[1].astype(jnp.float32) / n
+    else:
+        xf32 = x.astype(jnp.float32)
+        m_c = jnp.mean(xf32, axis=(1, 2))
+        q_c = jnp.mean(xf32 * xf32, axis=(1, 2))
     a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, None, None)
     blk_h, blk_w = _plan_affine_blocks(h, w, c)
     a3 = a.reshape(b, 1, c)
@@ -973,11 +981,10 @@ def gn_silu_conv3x3_int8(
     if emit_moments:
         out, mom = out
         if want_res:
-            # moments were taken pre-res-add: recompute invalid — fall back
-            # to consuming them downstream is wrong, so just drop this
-            # combination (callers never request it: the res add is the
-            # LAST ResBlock op, whose output feeds a non-GN consumer)
-            raise ValueError("emit_moments with an unfused residual add is unsupported")
+            # the unfused res-add happens after the epilogue, so the emitted
+            # moments don't describe the final output — drop them (rare
+            # plan-less path; caller treats None as "recompute")
+            return out + res.astype(out.dtype), None
         return out, mom
     return out + res.astype(out.dtype) if want_res else out
 

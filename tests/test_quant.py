@@ -827,3 +827,63 @@ def test_resblock_conv_moments_matches_recompute(monkeypatch):
         without = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
     rel = np.abs(with_mom - without).max() / max(np.abs(without).max(), 1e-6)
     assert rel < 0.03, rel
+
+
+def test_resblock_emit_moments_interface(monkeypatch):
+    """ResBlock(emit_moments=True) returns (out, (Σ, Σ²)) on the fused int8
+    path with sums matching the actual output, and (out, None) on fp paths."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import ResBlock
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    b, h, w, c = 1, 16, 32, 128
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
+    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
+    block = ResBlock(out_channels=c, dtype=jnp.bfloat16, quant=True)
+    with pltpu.force_tpu_interpret_mode():
+        params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+        # fp params: interface returns (out, None)
+        out_fp, mom_fp = block.apply(
+            {"params": params}, x, emb, emit_moments=True
+        )
+        assert mom_fp is None
+        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), x, emb)["params"]
+        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
+        out, mom = block.apply({"params": qp}, x, emb, emit_moments=True)
+        base = block.apply({"params": qp}, x, emb)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    assert mom is not None
+    of = np.asarray(out, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(mom[0]), of.sum(axis=(1, 2)), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(mom[1]), (of * of).sum(axis=(1, 2)), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_gn_quant_rowwise_moments_matches_recompute():
+    """gn_quant_rowwise(moments=(Σ, Σ²)) == recomputing the moments from x."""
+    from leftrefill_tpu.ops.quant import gn_quant_rowwise
+
+    ks = jax.random.split(jax.random.PRNGKey(17), 3)
+    b, h, w, c = 1, 16, 32, 128
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32).astype(jnp.bfloat16)
+    g = 1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32)
+    bta = 0.1 * jax.random.normal(ks[2], (c,), jnp.float32)
+    xf = np.asarray(x, np.float32)
+    mom = (
+        jnp.asarray(xf.sum(axis=(1, 2))),
+        jnp.asarray((xf * xf).sum(axis=(1, 2))),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        xn0, xq0, sc0 = gn_quant_rowwise(x, g, bta)
+        xn1, xq1, sc1 = gn_quant_rowwise(x, g, bta, moments=mom)
+    np.testing.assert_allclose(
+        np.asarray(xn1, np.float32), np.asarray(xn0, np.float32), atol=0.02, rtol=0.02
+    )
+    deq0 = np.asarray(xq0, np.float32) * np.asarray(sc0)
+    deq1 = np.asarray(xq1, np.float32) * np.asarray(sc1)
+    np.testing.assert_allclose(deq1, deq0, atol=0.05, rtol=0.05)
