@@ -450,7 +450,7 @@ class ResBlock(nn.Module):
                     )
                 if emit:
                     h, mom = h
-                    mom = (mom[:, 0], mom[:, 1])
+                    mom = tuple(mom[:, i] for i in range(mom.shape[1]))
                 # residual add fused into the out-conv epilogue (saves one
                 # HBM round-trip of h per block, openaimodel.py:273)
                 if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0":
@@ -491,7 +491,9 @@ class ResBlock(nn.Module):
                     if emit_moments:
                         h, mom2 = h if emit2 else (h, None)
                         return h, (
-                            (mom2[:, 0], mom2[:, 1]) if mom2 is not None else None
+                            tuple(mom2[:, i] for i in range(mom2.shape[1]))
+                            if mom2 is not None
+                            else None
                         )
                     return h
 

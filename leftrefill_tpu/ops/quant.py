@@ -204,7 +204,9 @@ def _conv_int8_single_kernel(*refs, has_res: bool = False, emit_moments: bool = 
             rf = rb.astype(jnp.float32)
             s1 = jnp.sum(rf, axis=(0, 1))[None, :]
             s2 = jnp.sum(rf * rf, axis=(0, 1))[None, :]
-            mom_ref[0] = jnp.concatenate([s1, s2], axis=0)  # [2, bco]
+            mn = jnp.min(rf, axis=(0, 1))[None, :]
+            mx = jnp.max(rf, axis=(0, 1))[None, :]
+            mom_ref[0] = jnp.concatenate([s1, s2, mn, mx], axis=0)  # [4, bco]
 
 
 def conv3x3_int8_single(
@@ -276,11 +278,11 @@ def conv3x3_int8_single_pre(
     out_shape = jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype)
     out_specs = o_spec
     if emit_moments:
-        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 2, co_eff), jnp.float32)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 4, co_eff), jnp.float32)]
         out_specs = [
             o_spec,
             pl.BlockSpec(
-                (1, 2, bco), lambda bi, coj, cij: (bi, 0, coj),
+                (1, 4, bco), lambda bi, coj, cij: (bi, 0, coj),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -395,13 +397,17 @@ def _conv_int8_kernel(
         rb = r.astype(o_ref.dtype)
         o_ref[0] = rb
         if mom_ref is not None:
-            # per-channel spatial sums of the ROUNDED output (what a GN
+            # per-channel spatial stats of the ROUNDED output (what a GN
             # consumer would read back) — accumulated across the wj grid dim
-            # (block index constant over (wj, ci), so the tile stays resident)
+            # (block index constant over (wj, ci), so the tile stays
+            # resident).  Rows: [Σ, Σ², min, max] — min/max give the exact
+            # SiLU abs-max envelope downstream (no separate amax read).
             rf = rb.astype(jnp.float32)
             s1 = jnp.sum(rf, axis=(0, 1))[None, :]       # [1, blk_co]
             s2 = jnp.sum(rf * rf, axis=(0, 1))[None, :]
-            mom = jnp.concatenate([s1, s2], axis=0)       # [2, blk_co]
+            mn = jnp.min(rf, axis=(0, 1))[None, :]
+            mx = jnp.max(rf, axis=(0, 1))[None, :]
+            mom = jnp.concatenate([s1, s2, mn, mx], axis=0)  # [4, blk_co]
 
             @pl.when(pl.program_id(2) == 0)
             def _init():
@@ -409,7 +415,16 @@ def _conv_int8_kernel(
 
             @pl.when(pl.program_id(2) != 0)
             def _acc():
-                mom_ref[0] += mom
+                cur = mom_ref[0]
+                mom_ref[0] = jnp.concatenate(
+                    [
+                        cur[0:1] + s1,
+                        cur[1:2] + s2,
+                        jnp.minimum(cur[2:3], mn),
+                        jnp.maximum(cur[3:4], mx),
+                    ],
+                    axis=0,
+                )
 
 
 def conv3x3_int8(
@@ -526,11 +541,11 @@ def conv3x3_int8_copy3_pre(
     out_shape = jax.ShapeDtypeStruct((b, h, wd, co), out_dtype)
     out_specs = o_spec
     if emit_moments:
-        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 2, co), jnp.float32)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 4, co), jnp.float32)]
         out_specs = [
             o_spec,
             pl.BlockSpec(
-                (1, 2, blk_co), lambda bi, coj, wj, cij: (bi, 0, coj),
+                (1, 4, blk_co), lambda bi, coj, wj, cij: (bi, 0, coj),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -940,26 +955,51 @@ def gn_silu_conv3x3_int8(
     E[(h+e)^2] = q_c + 2 e_c m_c + e_c^2 from the per-channel spatial moments
     (m_c, q_c) — two tiny [B,C] reductions of x are the only XLA work.
 
-    ``moments``: per-channel spatial SUMS (Σx, Σx²) [B, C] of x emitted by an
-    upstream conv epilogue (``emit_moments=True``) — skips this call's own
-    full-tensor moments read.  ``emit_moments``: this call's conv emits the
-    same for ITS output; the return becomes (out, (Σout, Σout²))."""
+    ``moments``: per-channel spatial stats of x emitted by an upstream conv
+    epilogue (``emit_moments=True``) — (Σx, Σx²) or (Σx, Σx², min, max),
+    [B, C] each.  Skips this call's own full-tensor moments read; with
+    min/max present the quantization scale comes from the exact SiLU
+    envelope (|silu| on an interval peaks at an endpoint or the single
+    interior minimum y*≈-1.2785), skipping the abs-max read as well — the
+    only remaining read of x is the quantize kernel itself.
+    ``emit_moments``: this call's conv emits the same 4 stats for ITS
+    output; the return becomes (out, [B, 4, CO])."""
     b, h, w, c = x.shape
-    xf32 = x.astype(jnp.float32)
     if moments is not None:
         n = float(h * w)
         m_c = moments[0].astype(jnp.float32) / n
         q_c = moments[1].astype(jnp.float32) / n
     else:
+        xf32 = x.astype(jnp.float32)
         m_c = jnp.mean(xf32, axis=(1, 2))            # [B, C] spatial mean
         q_c = jnp.mean(xf32 * xf32, axis=(1, 2))     # [B, C] spatial E[x^2]
     a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, emb, scale_shift)
 
-    # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce (no
-    # materialized tensor; silu is monotone-ish but not, so reduce the real
-    # value)
-    y = xf32 * a[:, None, None, :] + bb[:, None, None, :]
-    amax = jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
+    if moments is not None and len(moments) >= 4:
+        # exact tensor abs-max of silu(x*a+bb) from the per-channel envelope
+        lo = moments[2].astype(jnp.float32) * a + bb
+        hi = moments[3].astype(jnp.float32) * a + bb
+        y_lo = jnp.minimum(lo, hi)
+        y_hi = jnp.maximum(lo, hi)
+
+        def _silu(v):
+            return v * jax.nn.sigmoid(v)
+
+        cand = jnp.maximum(jnp.abs(_silu(y_lo)), jnp.abs(_silu(y_hi)))
+        ystar, silu_min = -1.2784645, 0.2784645  # argmin / |min| of silu
+        cand = jnp.where(
+            (y_lo <= ystar) & (ystar <= y_hi),
+            jnp.maximum(cand, silu_min),
+            cand,
+        )
+        amax = jnp.max(cand)
+    else:
+        # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce
+        # (no materialized tensor; silu is monotone-ish but not, so reduce
+        # the real value)
+        xf32 = x.astype(jnp.float32)
+        y = xf32 * a[:, None, None, :] + bb[:, None, None, :]
+        amax = jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
     scale = jnp.maximum(amax, 1e-8) / 127.0
 
     xq = affine_silu_quant(x, a, bb, 1.0 / scale)

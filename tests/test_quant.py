@@ -887,3 +887,36 @@ def test_gn_quant_rowwise_moments_matches_recompute():
     deq0 = np.asarray(xq0, np.float32) * np.asarray(sc0)
     deq1 = np.asarray(xq1, np.float32) * np.asarray(sc1)
     np.testing.assert_allclose(deq1, deq0, atol=0.05, rtol=0.05)
+
+
+def test_silu_envelope_scale_matches_amax_read():
+    """The quant scale computed from the per-channel (min, max) envelope ==
+    the full abs-max read of silu(x*a+bb), to fp rounding: |silu| on an
+    interval peaks at an endpoint or the interior minimum y*=-1.2785."""
+    from leftrefill_tpu.ops.quant import _gn_affine_ab, gn_silu_conv3x3_int8
+
+    ks = jax.random.split(jax.random.PRNGKey(31), 6)
+    b, h, w, c, co = 2, 16, 32, 128, 128
+    # include negative-heavy and positive-heavy channels so some envelopes
+    # straddle y* and some don't
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32) * 2.0 - 0.5
+    gamma = 1.0 + 0.3 * jax.random.normal(ks[1], (c,), jnp.float32)
+    beta = 0.5 * jax.random.normal(ks[2], (c,), jnp.float32)
+    m_c = jnp.mean(x, axis=(1, 2))
+    q_c = jnp.mean(x * x, axis=(1, 2))
+    a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, 32, 1e-5, None, None)
+    y = x * a[:, None, None, :] + bb[:, None, None, :]
+    amax_read = float(jnp.max(jnp.abs(y * jax.nn.sigmoid(y))))
+
+    lo = jnp.min(x, axis=(1, 2)) * a + bb
+    hi = jnp.max(x, axis=(1, 2)) * a + bb
+    y_lo, y_hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+    s = lambda v: v * jax.nn.sigmoid(v)
+    cand = jnp.maximum(jnp.abs(s(y_lo)), jnp.abs(s(y_hi)))
+    cand = jnp.where(
+        (y_lo <= -1.2784645) & (-1.2784645 <= y_hi),
+        jnp.maximum(cand, 0.2784645), cand,
+    )
+    amax_env = float(jnp.max(cand))
+    assert amax_env >= amax_read - 1e-5          # valid (never underestimates)
+    assert amax_env <= amax_read * 1.0001 + 1e-5  # and tight (exact to rounding)
