@@ -451,6 +451,7 @@ class ResBlock(nn.Module):
                         parts[0].astype(self.dtype), parts[1].astype(self.dtype),
                         g1s, g1b, k1, s1, c1b, num_groups=g1,
                         out_dtype=self.dtype, emit_moments=emit,
+                        moments=in_moments,
                     )
                 else:
                     h = gn_silu_conv3x3_int8(
@@ -1258,7 +1259,7 @@ class UNetModel(nn.Module):
                 bsz = (h[0] if isinstance(h, tuple) else h).shape[0]
                 e = emb[:bsz] if dup_on else emb
                 emit = chain and (nxt == "st" or (last and want_out_mom))
-                use_in = mom if (not isinstance(h, tuple) and not dup_on) else None
+                use_in = mom if not dup_on else None
                 if emit:
                     h, mom = layer(h, e, emit_moments=True, in_moments=use_in)
                 else:
@@ -1333,15 +1334,27 @@ class UNetModel(nn.Module):
                 layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state,
                 in_mom=mom, want_out_mom=True, **kwargs
             )
-            hs.append(h)
+            hs.append((h, mom))
         h, mom = self._apply_seq(
             self.middle_block, h, emb, context, cross_kv=cross_kv,
             dup_state=dup_state, in_mom=mom, want_out_mom=True, **kwargs
         )
         for layers in self.output_blocks:
-            skip = hs.pop()
+            skip, skip_mom = hs.pop()
             if skip.shape[0] != h.shape[0]:  # skip stored before the dup point
                 skip = jnp.concatenate([skip, skip], axis=0)
+                if skip_mom is not None:
+                    skip_mom = tuple(
+                        jnp.concatenate([s, s], axis=0) for s in skip_mom
+                    )
+            # concat stats combine exactly by channel-concat of part stats
+            if mom is not None and skip_mom is not None and len(mom) == len(skip_mom):
+                cat_mom = tuple(
+                    jnp.concatenate([a_, b_], axis=-1)
+                    for a_, b_ in zip(mom, skip_mom)
+                )
+            else:
+                cat_mom = None
             if (
                 self.quant
                 and layers[0][0] == "res"
@@ -1352,11 +1365,9 @@ class UNetModel(nn.Module):
                 h = (h, skip)
             else:
                 h = jnp.concatenate([h, skip], axis=-1)
-            # the concat (virtual or real) changes the channel set: stats of
-            # h alone no longer describe the block input
             h, mom = self._apply_seq(
                 layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state,
-                in_mom=None, want_out_mom=True, **kwargs
+                in_mom=cat_mom, want_out_mom=True, **kwargs
             )
         if dup_state is not None and dup_state["on"]:  # no ST consumed it
             h = jnp.concatenate([h, h], axis=0)

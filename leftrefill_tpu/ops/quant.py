@@ -1039,6 +1039,26 @@ def _gn_affine_ab(
     return a, bb
 
 
+def _silu_env_amax(mn: jax.Array, mx: jax.Array, a: jax.Array, bb: jax.Array):
+    """Exact abs-max of silu(x*a+bb) over a tensor whose per-channel (min,
+    max) envelope is known: |silu| on an interval peaks at an endpoint or at
+    the single interior minimum y*≈-1.2785 (|silu(y*)|≈0.2785)."""
+    lo = mn.astype(jnp.float32) * a + bb
+    hi = mx.astype(jnp.float32) * a + bb
+    y_lo = jnp.minimum(lo, hi)
+    y_hi = jnp.maximum(lo, hi)
+
+    def _silu(v):
+        return v * jax.nn.sigmoid(v)
+
+    cand = jnp.maximum(jnp.abs(_silu(y_lo)), jnp.abs(_silu(y_hi)))
+    ystar, silu_min = -1.2784645, 0.2784645
+    cand = jnp.where(
+        (y_lo <= ystar) & (ystar <= y_hi), jnp.maximum(cand, silu_min), cand
+    )
+    return jnp.max(cand)
+
+
 def gn_silu_conv3x3_int8(
     x: jax.Array,          # [B, H, W, C] bf16 (pre-GN activation)
     gamma: jax.Array,      # [C] GroupNorm scale
@@ -1089,22 +1109,7 @@ def gn_silu_conv3x3_int8(
 
     if moments is not None and len(moments) >= 4:
         # exact tensor abs-max of silu(x*a+bb) from the per-channel envelope
-        lo = moments[2].astype(jnp.float32) * a + bb
-        hi = moments[3].astype(jnp.float32) * a + bb
-        y_lo = jnp.minimum(lo, hi)
-        y_hi = jnp.maximum(lo, hi)
-
-        def _silu(v):
-            return v * jax.nn.sigmoid(v)
-
-        cand = jnp.maximum(jnp.abs(_silu(y_lo)), jnp.abs(_silu(y_hi)))
-        ystar, silu_min = -1.2784645, 0.2784645  # argmin / |min| of silu
-        cand = jnp.where(
-            (y_lo <= ystar) & (ystar <= y_hi),
-            jnp.maximum(cand, silu_min),
-            cand,
-        )
-        amax = jnp.max(cand)
+        amax = _silu_env_amax(moments[2], moments[3], a, bb)
     else:
         # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce
         # (no materialized tensor; silu is monotone-ish but not, so reduce
@@ -1161,6 +1166,7 @@ def gn_silu_conv3x3_int8_cat2(
     out_dtype=jnp.bfloat16,
     res: Optional[jax.Array] = None,
     emit_moments: bool = False,
+    moments: Optional[tuple] = None,   # combined [B, C1+C2] stats of [x1‖x2]
 ):
     """gn_silu_conv3x3_int8 over a VIRTUAL channel concat [x1 ‖ x2] — the
     decoder skip cat (openaimodel.py:760, `th.cat([h, hs.pop()], dim=1)`)
@@ -1195,23 +1201,35 @@ def gn_silu_conv3x3_int8_cat2(
             jnp.concatenate([x1, x2], axis=-1), gamma, beta, wq, w_scale, bias,
             num_groups=num_groups, eps=eps, emb=emb, scale_shift=scale_shift,
             out_dtype=out_dtype, res=res, emit_moments=emit_moments,
+            moments=moments,
         )
 
-    f1 = x1.astype(jnp.float32)
-    f2 = x2.astype(jnp.float32)
-    m_c = jnp.concatenate([jnp.mean(f1, axis=(1, 2)), jnp.mean(f2, axis=(1, 2))], -1)
-    q_c = jnp.concatenate(
-        [jnp.mean(f1 * f1, axis=(1, 2)), jnp.mean(f2 * f2, axis=(1, 2))], -1
-    )
+    n = float(h * w)
+    if moments is not None:
+        m_c = moments[0].astype(jnp.float32) / n
+        q_c = moments[1].astype(jnp.float32) / n
+    else:
+        f1 = x1.astype(jnp.float32)
+        f2 = x2.astype(jnp.float32)
+        m_c = jnp.concatenate(
+            [jnp.mean(f1, axis=(1, 2)), jnp.mean(f2, axis=(1, 2))], -1
+        )
+        q_c = jnp.concatenate(
+            [jnp.mean(f1 * f1, axis=(1, 2)), jnp.mean(f2 * f2, axis=(1, 2))], -1
+        )
     a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, emb, scale_shift)
     a1, a2 = a[:, :c1], a[:, c1:]
     b1, b2 = bb[:, :c1], bb[:, c1:]
 
-    def part_amax(f, av, bv):
-        y = f * av[:, None, None, :] + bv[:, None, None, :]
-        return jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
+    if moments is not None and len(moments) >= 4:
+        amax = _silu_env_amax(moments[2], moments[3], a, bb)
+    else:
 
-    amax = jnp.maximum(part_amax(f1, a1, b1), part_amax(f2, a2, b2))
+        def part_amax(x_, av, bv):
+            y = x_.astype(jnp.float32) * av[:, None, None, :] + bv[:, None, None, :]
+            return jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
+
+        amax = jnp.maximum(part_amax(x1, a1, b1), part_amax(x2, a2, b2))
     scale = jnp.maximum(amax, 1e-8) / 127.0
     inv = 1.0 / scale
     xq1 = affine_silu_quant(x1, a1, b1, inv)

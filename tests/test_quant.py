@@ -955,3 +955,41 @@ def test_st_fused_proj_out_emits_stats(monkeypatch):
     np.testing.assert_allclose(np.asarray(mom[0]), of.sum(1), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(mom[2]), of.min(1), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(mom[3]), of.max(1), rtol=1e-3, atol=1e-4)
+
+
+def test_gn_silu_conv_cat2_with_moments_matches():
+    """cat2 consuming combined (channel-concat) upstream stats == cat2
+    computing its own per-part moments/amax."""
+    from leftrefill_tpu.ops.quant import gn_silu_conv3x3_int8_cat2
+
+    ks = jax.random.split(jax.random.PRNGKey(41), 6)
+    b, h, w, c1, c2, co = 1, 16, 32, 128, 128, 128
+    x1 = jax.random.normal(ks[0], (b, h, w, c1), jnp.float32).astype(jnp.bfloat16)
+    x2 = jax.random.normal(ks[1], (b, h, w, c2), jnp.float32).astype(jnp.bfloat16)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[2], (c1 + c2,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[3], (c1 + c2,), jnp.float32)
+    wt = jax.random.normal(ks[4], (3, 3, c1 + c2, co), jnp.float32) * 0.05
+    wq, ws = quantize_weight(wt)
+    bias = 0.1 * jax.random.normal(ks[5], (co,), jnp.float32)
+
+    xf = np.concatenate(
+        [np.asarray(x1, np.float32), np.asarray(x2, np.float32)], axis=-1
+    )
+    mom = (
+        jnp.asarray(xf.sum(axis=(1, 2))),
+        jnp.asarray((xf * xf).sum(axis=(1, 2))),
+        jnp.asarray(xf.min(axis=(1, 2))),
+        jnp.asarray(xf.max(axis=(1, 2))),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(
+            gn_silu_conv3x3_int8_cat2(x1, x2, gamma, beta, wq, ws, bias), np.float32
+        )
+        with_m = np.asarray(
+            gn_silu_conv3x3_int8_cat2(
+                x1, x2, gamma, beta, wq, ws, bias, moments=mom
+            ),
+            np.float32,
+        )
+    rel = np.abs(with_m - base).max() / max(np.abs(base).max(), 1e-6)
+    assert rel < 0.02, rel
