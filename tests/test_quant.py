@@ -993,3 +993,46 @@ def test_gn_silu_conv_cat2_with_moments_matches():
         )
     rel = np.abs(with_m - base).max() / max(np.abs(base).max(), 1e-6)
     assert rel < 0.02, rel
+
+
+def test_unet_int8_all_fusions_match_unfused(monkeypatch):
+    """Full tiny-UNet int8 forward with the whole fusion family ON
+    (split cats, LN/GN+quant prenorms, conv/proj epilogue stats + envelope
+    scales, fused residuals) == all fusions OFF, within quantization
+    rounding.  The integration safety net for the chained-stats design."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.unet import UNetModel
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    m = UNetModel(
+        model_channels=128, num_res_blocks=1, attention_resolutions=(1, 2),
+        channel_mult=(1, 2), num_head_channels=32, context_dim=96,
+        transformer_depth=1, dtype=jnp.bfloat16, quant=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 9), jnp.bfloat16)
+    t = jnp.array([5], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 96), jnp.bfloat16)
+    flags = ("LEFTREFILL_SPLIT_CAT", "LEFTREFILL_FUSED_LNQ",
+             "LEFTREFILL_CONV_MOMENTS", "LEFTREFILL_FUSED_RESADD",
+             "LEFTREFILL_FUSED_FFRES", "LEFTREFILL_FUSED_RES")
+    with pltpu.force_tpu_interpret_mode():
+        for f in flags:
+            monkeypatch.setenv(f, "1")
+        params = m.init(jax.random.PRNGKey(2), x, t, ctx)["params"]
+        from tests.test_tasks import unzero_kernels
+
+        params = unzero_kernels(jax.tree.map(np.asarray, params))
+        q_struct = jax.eval_shape(m.init, jax.random.PRNGKey(2), x, t, ctx)["params"]
+        qp = quantize_params_like(q_struct, params)
+        fused = np.asarray(m.apply({"params": qp}, x, t, ctx), np.float32)
+        for f in flags:
+            monkeypatch.setenv(f, "0")
+        p2 = m.init(jax.random.PRNGKey(2), x, t, ctx)["params"]
+        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(
+            jax.tree.map(jnp.asarray, params)
+        )
+        unfused = np.asarray(m.apply({"params": qp}, x, t, ctx), np.float32)
+    assert np.isfinite(fused).all() and np.isfinite(unfused).all()
+    rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
+    assert rel < 0.08, rel
