@@ -12,8 +12,11 @@ from leftrefill_tpu.diffusion.schedules import DiffusionSchedule
 from leftrefill_tpu.models.autoencoder import AutoencoderKL, DDConfig
 from leftrefill_tpu.models.multiview import MultiViewUnetModel
 
+import os
+
 V = 2
-unet = MultiViewUnetModel(view_num=V, dtype=jnp.bfloat16)
+QUANT = os.environ.get("MV_QUANT", "0") == "1"  # W8A8 int8 UNet variant
+unet = MultiViewUnetModel(view_num=V, dtype=jnp.bfloat16, quant=QUANT)
 vae = AutoencoderKL(ddconfig=DDConfig(), embed_dim=4, dtype=jnp.bfloat16)
 schedule = DiffusionSchedule.create(
     timesteps=1000, beta_schedule="linear", linear_start=0.00085, linear_end=0.0120
@@ -26,11 +29,16 @@ zeros = lambda shapes: jax.tree_util.tree_map(
     ),
     shapes,
 )
-up = zeros(jax.eval_shape(unet.init, jax.random.PRNGKey(0),
+u_struct = jax.eval_shape(unet.init, jax.random.PRNGKey(0),
                           jnp.zeros((V, 64, 128, 9)), jnp.zeros((V,), jnp.int32),
-                          jnp.zeros((V, 77, 1024))))
+                          jnp.zeros((V, 77, 1024)))
+up = zeros(u_struct)
+if QUANT:
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    up = {"params": quantize_params_like(u_struct["params"], up["params"])}
 vp = zeros(jax.eval_shape(vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3))))
-print("params built", flush=True)
+print(f"params built (quant={QUANT})", flush=True)
 
 c_concat = jnp.zeros((V, 64, 128, 5), jnp.bfloat16)
 ctx_c = jnp.zeros((V, 77, 1024), jnp.bfloat16)

@@ -16,6 +16,10 @@ echo "$(date -u +%H:%M:%S) multiview e2e (bf16; FF-res fusion regression)"
 python scripts/tpu_multiview_e2e.py > /tmp/mv_e2e_wd.log 2>&1
 echo "rc=$? $(tail -2 /tmp/mv_e2e_wd.log)"
 
+echo "$(date -u +%H:%M:%S) multiview e2e int8 (MV_QUANT=1, full fusion family)"
+MV_QUANT=1 python scripts/tpu_multiview_e2e.py > /tmp/mv_e2e_q_wd.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_e2e_q_wd.log)"
+
 echo "$(date -u +%H:%M:%S) train step B=2 (geglu_fused_res VJP on-chip check)"
 python scripts/tpu_train_step.py > /tmp/train_wd.log 2>&1
 echo "rc=$? $(tail -2 /tmp/train_wd.log)"

@@ -1036,3 +1036,31 @@ def test_unet_int8_all_fusions_match_unfused(monkeypatch):
     assert np.isfinite(fused).all() and np.isfinite(unfused).all()
     rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
     assert rel < 0.08, rel
+
+
+def test_multiview_block_int8_lnq_matches_unfused(monkeypatch):
+    """MultiViewBasicTransformerBlock int8 with the fused LN+quant prenorms
+    == the unfused chain (the multiview e2e int8 variant's core block)."""
+    import leftrefill_tpu.ops.conv as conv_mod
+    from leftrefill_tpu.models.multiview import MultiViewBasicTransformerBlock
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    bv, hw, c = 2, 64, 128  # 2 views of one scene
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(bv, hw, c).astype(np.float32), jnp.bfloat16)
+    ctx = jnp.asarray(rng.randn(bv, 77, 96).astype(np.float32), jnp.bfloat16)
+    blk = MultiViewBasicTransformerBlock(
+        dim=c, n_heads=4, d_head=32, context_dim=96, dtype=jnp.bfloat16,
+        quant=True, view_num=2,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("LEFTREFILL_FUSED_LNQ", "1")
+        params = blk.init(jax.random.PRNGKey(0), x, ctx)["params"]
+        q_struct = jax.eval_shape(blk.init, jax.random.PRNGKey(0), x, ctx)["params"]
+        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
+        fused = np.asarray(blk.apply({"params": qp}, x, ctx), np.float32)
+        monkeypatch.setenv("LEFTREFILL_FUSED_LNQ", "0")
+        unfused = np.asarray(blk.apply({"params": qp}, x, ctx), np.float32)
+    rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
+    assert rel < 0.05, rel
