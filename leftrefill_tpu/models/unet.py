@@ -75,6 +75,11 @@ class Conv3x3(nn.Module):
         )
 
 
+def _mom_tuple(m):
+    """[B, 4, C] epilogue stats -> a (s1, s2, mn, mx) tuple (None passthrough)."""
+    return None if m is None else tuple(m[:, i] for i in range(m.shape[1]))
+
+
 def conv3x3_forward(
     x, kernel, bias, scale, dtype, quant, strides: int = 1, res=None
 ) -> jax.Array:
@@ -461,7 +466,7 @@ class ResBlock(nn.Module):
                     )
                 if emit:
                     h, mom = h
-                    mom = tuple(mom[:, i] for i in range(mom.shape[1]))
+                    mom = _mom_tuple(mom)
                 # residual add fused into the out-conv epilogue (saves one
                 # HBM round-trip of h per block, openaimodel.py:273)
                 if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0":
@@ -501,11 +506,7 @@ class ResBlock(nn.Module):
                 if skip is not None:
                     if emit_moments:
                         h, mom2 = h if emit2 else (h, None)
-                        return h, (
-                            tuple(mom2[:, i] for i in range(mom2.shape[1]))
-                            if mom2 is not None
-                            else None
-                        )
+                        return h, _mom_tuple(mom2)
                     return h
 
         if parts is not None:
@@ -1051,7 +1052,7 @@ class SpatialTransformer(nn.Module):
                 out3, mom = dense_int8_res_mom(xq, sxr, pk, psc, pb, res3)
                 out = out3.reshape(b2, h, w, c)
                 if emit_moments:
-                    return out, tuple(mom[:, i] for i in range(mom.shape[1]))
+                    return out, _mom_tuple(mom)
                 return out
             x = dense_int8(xq, sxr, pk, psc, pb, out_dtype=self.dtype)
         else:
