@@ -55,10 +55,24 @@ CLAMP = 75.0
 # guard, e.g. after LoRA fine-tuning ever trains attention weights.
 _SAFE_SOFTMAX = os.environ.get("LEFTREFILL_FLASH_SAFE_SOFTMAX", "0") == "1"
 
+# log2-domain softmax: fold log2(e) into the q prescale and use exp2 instead
+# of exp.  Mathematically identical (exp(x) == exp2(x*log2e)); if the VPU's
+# exp is microcoded as exp2(x*log2e), this deletes one full-tile multiply per
+# [blk, N] score tile.  Default off until measured on-chip
+# (scripts/tpu_r3_exp2_ab.py).
+_EXP2 = os.environ.get("LEFTREFILL_FLASH_EXP2", "0") == "1"
+LOG2E = 1.4426950408889634  # log2(e); CLAMP*LOG2E is the log2-domain clamp
+LN2 = 0.6931471805599453
+
 
 def set_safe_softmax(on: bool) -> None:
     global _SAFE_SOFTMAX
     _SAFE_SOFTMAX = bool(on)
+
+
+def set_exp2(on: bool) -> None:
+    global _EXP2
+    _EXP2 = bool(on)
 
 
 def _pick_block(n_other: int, n_blocked: int, dtype=jnp.bfloat16) -> int:
@@ -110,10 +124,13 @@ DKV_Q_CHUNK = 512
 # forward
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, safe: bool):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, safe: bool, exp2: bool
+):
     # fold the softmax scale into q (a [blk_q, D] multiply) instead of the
-    # [blk_q, Nk] score tile — saves a full-tile VPU pass
-    q = q_ref[0].astype(jnp.float32) * scale
+    # [blk_q, Nk] score tile — saves a full-tile VPU pass.  exp2 mode folds
+    # log2(e) in as well, so the scores are already log2-domain.
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E if exp2 and not safe else scale)
     k = k_ref[0]  # [Nk, D]
     v = v_ref[0]
     s = jax.lax.dot_general(
@@ -125,6 +142,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, safe: bool
     if safe:  # exact shifted softmax (debug/assert mode)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
+    elif exp2:
+        p = jnp.exp2(jnp.minimum(s, CLAMP * LOG2E))
     else:
         p = jnp.exp(jnp.minimum(s, CLAMP))
     # underflow guard (advisor r2): a q-row whose every logit is below ~-87
@@ -162,7 +181,7 @@ def _flash_forward(
 
     grid = (b * h, nq // blk_q)
     o, l = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, safe=_SAFE_SOFTMAX),
+        functools.partial(_flash_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
@@ -190,19 +209,26 @@ def _flash_forward(
 # backward
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, scale, safe):
-    q = q_ref[0].astype(jnp.float32) * scale
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, scale, safe, exp2
+):
+    log2dom = exp2 and not safe  # log2-domain scores (see _flash_kernel)
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E if log2dom else scale)
     k = k_ref[0]  # [Nk, D] resident
     v = v_ref[0]
     do = do_ref[0]  # [blk_q, D]
-    lse = l_ref[0]  # [blk_q, 1] logsumexp
+    lse = l_ref[0]  # [blk_q, 1] logsumexp (natural domain in every mode)
     dcap = dd_ref[0]  # [blk_q, 1] = rowsum(dO * O)
     s = jax.lax.dot_general(
         q, k.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
+    clamp = CLAMP * LOG2E if log2dom else CLAMP
+    if log2dom:
+        p = jnp.exp2(jnp.minimum(s, clamp) - lse * LOG2E)
+    else:
+        p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
     dp = jax.lax.dot_general(
         do, v,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -212,7 +238,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, 
     if not safe:
         # clamp envelope (advisor r2): for s > CLAMP the forward is constant
         # in s (min saturates), so its true gradient is 0 — mask it
-        ds = jnp.where(s <= CLAMP, ds, 0.0)
+        ds = jnp.where(s <= clamp, ds, 0.0)
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -223,9 +249,10 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, *, 
 
 def _flash_bwd_dkv_kernel(
     k_ref, v_ref, q_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, scale, safe
+    *, scale, safe, exp2
 ):
     qc = pl.program_id(2)
+    log2dom = exp2 and not safe
 
     @pl.when(qc == 0)
     def _zero():
@@ -234,7 +261,9 @@ def _flash_bwd_dkv_kernel(
 
     k = k_ref[0]  # [blk_k, D]
     v = v_ref[0]
-    q = q_ref[0].astype(jnp.float32) * scale  # [chunk, D]
+    # [chunk, D]; dk below reuses this prescaled q, so the extra LOG2E factor
+    # of the log2 domain is divided back out at the final accumulator write
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E if log2dom else scale)
     do = do_ref[0]
     lse = l_ref[0]  # [chunk, 1]
     dcap = dd_ref[0]
@@ -243,7 +272,11 @@ def _flash_bwd_dkv_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [chunk, blk_k]
-    p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
+    clamp = CLAMP * LOG2E if log2dom else CLAMP
+    if log2dom:
+        p = jnp.exp2(jnp.minimum(s, clamp) - lse * LOG2E)
+    else:
+        p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
     dv_acc[...] += jax.lax.dot_general(
         p.astype(do.dtype), do,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -256,7 +289,7 @@ def _flash_bwd_dkv_kernel(
     )  # [chunk, blk_k]
     ds = p * (dp - dcap)
     if not safe:
-        ds = jnp.where(s <= CLAMP, ds, 0.0)  # clamp envelope, as in dq kernel
+        ds = jnp.where(s <= clamp, ds, 0.0)  # clamp envelope, as in dq kernel
     dk_acc[...] += jax.lax.dot_general(
         ds.astype(k.dtype), q.astype(k.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -265,7 +298,10 @@ def _flash_bwd_dkv_kernel(
 
     @pl.when(qc == pl.num_programs(2) - 1)
     def _write():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        # log2 domain: dk accumulated dS^T (q*scale*log2e) — divide the
+        # log2e back out ([blk_k, D] scalar multiply, once per k block)
+        fix = LN2 if log2dom else 1.0
+        dk_ref[0] = (dk_acc[...] * fix).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -285,7 +321,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
 
     blk_q = _pick_block_bwd(nk, nq)
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale, safe=_SAFE_SOFTMAX),
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2),
         out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
         grid=(b * h, nq // blk_q),
         in_specs=[
@@ -311,7 +347,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
     chunk = next(c for c in (DKV_Q_CHUNK, 256, 128) if nq % c == 0 and c <= nq)
     assert nq % chunk == 0, (nq, chunk)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale, safe=_SAFE_SOFTMAX),
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, nk, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, nk, d), v.dtype),

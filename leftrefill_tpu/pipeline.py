@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -144,8 +145,10 @@ def _generate(
         # cfg_dup: cond/uncond share x_noisy and c_concat here (only the text
         # context differs), so the UNet prefix before the first cross-attn
         # runs once at half batch (models/unet.py cfg_dup — bit-exact).
+        # LEFTREFILL_CFG_DUP=0 disables the shared prefix (perf A/B knob).
+        dup = use_cfg and os.environ.get("LEFTREFILL_CFG_DUP", "1") != "0"
         apply_fn = lambda x, t, c: model.apply_model(
-            params, x, t, c, cross_kv=kv, cfg_dup=use_cfg
+            params, x, t, c, cross_kv=kv, cfg_dup=dup
         )
     if sampler == "dpm++2m":
         from leftrefill_tpu.diffusion.samplers_extra import dpm_solver_pp_2m_sample

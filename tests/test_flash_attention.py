@@ -178,3 +178,31 @@ def test_flash_backward_non_512_multiple_nq():
     for got, want, name in zip((dq, dk, dv), vjp_r(g), ("dq", "dk", "dv")):
         err = np.abs(np.asarray(got) - np.asarray(want)).max()
         assert err < 1e-5, f"{name}: {err}"
+
+
+def test_flash_exp2_mode_matches_reference():
+    """LEFTREFILL_FLASH_EXP2 (log2-domain softmax): exp2(s*log2e) == exp(s)
+    mathematically; forward and every VJP input must match the fp32-softmax
+    reference to the same tolerance as the default mode — incl. the dk
+    log2e correction at the dkv accumulator write."""
+    from leftrefill_tpu.ops import flash_attention as fa
+
+    B, H, N, D = 1, 2, 256, 64
+    key = jax.random.PRNGKey(11)
+    q, k, v = (
+        jax.random.normal(s, (B, H, N, D), jnp.float32)
+        for s in jax.random.split(key, 3)
+    )
+    scale = D**-0.5
+    fa.set_exp2(True)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out, vjp = jax.vjp(lambda a, b, c: flash_attention(a, b, c, scale), q, k, v)
+            g = vjp(jnp.ones_like(out))
+    finally:
+        fa.set_exp2(False)
+    ref, vjp_r = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale), q, k, v)
+    g_r = vjp_r(jnp.ones_like(ref))
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+    for a, b, name in zip(g, g_r, "qkv"):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4, f"d{name}"
