@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compile cache: a re-run of the SAME configuration (e.g. the
+# stage-3 per-flag A/B's repeated all-on baseline) skips the multi-minute
+# UNet compile.  Timing below always excludes compile (warmup before the
+# clock), so this changes wall-clock only, never the recorded number.
+from leftrefill_tpu.runtime import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 
 def build_full_bundle(dtype=jnp.bfloat16, quant=False, quant_vae=False):
     from leftrefill_tpu.diffusion.core import LeftRefillModel

@@ -246,7 +246,9 @@ def _ceil128(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024), res=False):
+def _plan_int8_single(
+    h, w, ci, co, budget=int(11.5 * 1024 * 1024), res=False, moments=False
+):
     """Block plan for the single-input kernel: (blk_ci, blk_co, ci_eff, co_eff)
     or None.  Channel counts may be zero-padded to a 128 multiple on EITHER
     side (the output is sliced back); MXU cost is unchanged by padding-to-128
@@ -266,6 +268,10 @@ def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024), res=False):
                     o_b = h * w * bco * 2 * 2  # bf16 out, dbl-buffered
                     if res:
                         o_b *= 2  # + bf16 residual input, same block shape
+                    if moments:
+                        # the moments epilogue keeps an f32 copy of the out
+                        # tile live while reducing it
+                        o_b += h * w * bco * 4
                     if x_b + w_b + acc_b + o_b > budget:
                         continue
                     tiles = ((ci_eff // bci) * (-(-bci // 128))) * (
@@ -351,8 +357,8 @@ def conv3x3_int8_single_pre(
     ``emit_moments``: also return [B, 2, CO] per-channel (Σout, Σout²)."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
-    plan = _plan_int8_single(h, wd, ci, co, res=res is not None)
-    assert plan is not None, "caller must check _plan_int8_single"
+    plan = _plan_int8_single(h, wd, ci, co, res=res is not None, moments=emit_moments)
+    assert plan is not None, "caller must check the moments-aware plan"
     bci, bco, ci_eff, co_eff = plan
 
     xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, ci_eff - ci)))
@@ -422,10 +428,17 @@ def conv3x3_int8_single_pre(
     return out[..., :co] if co_eff != co else out
 
 
-def _plan_int8(h, w, ci, co, res=False):
+def _plan_int8(h, w, ci, co, res=False, moments=False):
     from leftrefill_tpu.ops.conv import plan_conv_blocks
 
-    kw = _INT8_PLAN_KW if not res else {**_INT8_PLAN_KW, "o_elt": 4}
+    # o_elt models the per-output-block VMEM residents: bf16 out (2) + the
+    # fused-residual bf16 input block (+2) + the moments epilogue's f32 copy
+    # of the out tile (+2: the planner doubles o_bytes for double buffering,
+    # so +2 elt == one single-buffered f32 tile).  Without the moments term
+    # the L0 384->320 copy3 plan compiled to 16.23M scoped vmem vs the 16M
+    # limit on v5e (first full-UNet int8 compile after the stats chaining).
+    o_elt = 2 + (2 if res else 0) + (2 if moments else 0)
+    kw = {**_INT8_PLAN_KW, "o_elt": o_elt}
     return plan_conv_blocks(h, w, ci, co, **kw)
 
 
@@ -605,8 +618,8 @@ def conv3x3_int8_copy3_pre(
     full-tensor moments read."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
-    plan = _plan_int8(h, wd, ci, co, res=res is not None)
-    assert plan is not None, "caller must check conv3x3_int8_qualifies"
+    plan = _plan_int8(h, wd, ci, co, res=res is not None, moments=emit_moments)
+    assert plan is not None, "caller must check the moments-aware plan"
     (blk_w, blk_ci, blk_co), ci_eff = plan
 
     cpad = ci_eff - ci
@@ -1059,6 +1072,35 @@ def _silu_env_amax(mn: jax.Array, mx: jax.Array, a: jax.Array, bb: jax.Array):
     return jnp.max(cand)
 
 
+def _conv3x3_int8_pre_dispatch(xq, sx, wq, w_scale, bias, out_dtype, res, emit):
+    """copy3-preferred kernel dispatch on a PRE-quantized activation that
+    degrades the moments epilogue when its VMEM headroom doesn't fit: the
+    kernel choice (copy3 over single, measured faster everywhere it has a
+    plan) stays primary; ``emit`` drops to False within the chosen kernel if
+    only its plain plan fits the budget.  Returns (out, mom-or-None), or
+    None when no res-resident plan exists at all (caller unfuses the add)."""
+    b, h, wd, ci = xq.shape
+    co = wq.shape[-1]
+    want_res = res is not None
+    if _plan_int8(h, wd, ci, co, res=want_res) is not None:
+        e = emit and _plan_int8(h, wd, ci, co, res=want_res, moments=True) is not None
+        out = conv3x3_int8_copy3_pre(
+            xq, sx, wq, w_scale, bias, out_dtype, res=res, emit_moments=e
+        )
+        return out if e else (out, None)
+    if _plan_int8_single(h, wd, ci, co, res=want_res) is not None:
+        e = (
+            emit
+            and _plan_int8_single(h, wd, ci, co, res=want_res, moments=True)
+            is not None
+        )
+        out = conv3x3_int8_single_pre(
+            xq, sx, wq, w_scale, bias, out_dtype, res=res, emit_moments=e
+        )
+        return out if e else (out, None)
+    return None
+
+
 def gn_silu_conv3x3_int8(
     x: jax.Array,          # [B, H, W, C] bf16 (pre-GN activation)
     gamma: jax.Array,      # [C] GroupNorm scale
@@ -1120,30 +1162,23 @@ def gn_silu_conv3x3_int8(
     scale = jnp.maximum(amax, 1e-8) / 127.0
 
     xq = affine_silu_quant(x, a, bb, 1.0 / scale)
-    co = wq.shape[-1]
     want_res = res is not None
-    if _plan_int8(h, w, c, co, res=want_res) is not None:
-        return conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype,
-                                      res=res, emit_moments=emit_moments)
-    if _plan_int8_single(h, w, c, co, res=want_res) is not None:
-        return conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype,
-                                       res=res, emit_moments=emit_moments)
-    # no plan fits with the residual block resident: fall back to a separate add
-    if _plan_int8(h, w, c, co) is not None:
-        out = conv3x3_int8_copy3_pre(xq, scale, wq, w_scale, bias, out_dtype,
-                                     emit_moments=emit_moments)
-    else:
-        out = conv3x3_int8_single_pre(xq, scale, wq, w_scale, bias, out_dtype,
-                                      emit_moments=emit_moments)
-    if emit_moments:
-        out, mom = out
-        if want_res:
-            # the unfused res-add happens after the epilogue, so the emitted
-            # moments don't describe the final output — drop them (rare
-            # plan-less path; caller treats None as "recompute")
-            return out + res.astype(out.dtype), None
-        return out, mom
-    return out + res.astype(out.dtype) if want_res else out
+    r = _conv3x3_int8_pre_dispatch(
+        xq, scale, wq, w_scale, bias, out_dtype, res, emit_moments
+    )
+    if r is not None:
+        return r if emit_moments else r[0]
+    # no plan fits with the residual block resident: fall back to a separate
+    # add over the plain dispatch.  The unfused res-add happens after the
+    # epilogue, so any emitted moments wouldn't describe the final output —
+    # don't emit them (caller treats None as "recompute").
+    out, mom = _conv3x3_int8_pre_dispatch(
+        xq, scale, wq, w_scale, bias, out_dtype, None, emit_moments and not want_res
+    )
+    if want_res:
+        out = out + res.astype(out.dtype)
+        mom = None
+    return (out, mom) if emit_moments else out
 
 
 def gn_silu_conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int, num_groups: int = 32) -> bool:
@@ -1236,18 +1271,18 @@ def gn_silu_conv3x3_int8_cat2(
     xq2 = affine_silu_quant(x2, a2, b2, inv)
 
     def conv_part(xq, wpart, bias_, res_, emit=False):
-        ci_ = xq.shape[-1]
-        if _plan_int8(h, w, ci_, co, res=res_ is not None) is not None:
-            return conv3x3_int8_copy3_pre(xq, scale, wpart, w_scale, bias_,
-                                          out_dtype, res=res_, emit_moments=emit)
-        return conv3x3_int8_single_pre(xq, scale, wpart, w_scale, bias_,
-                                       out_dtype, res=res_, emit_moments=emit)
+        r = _conv3x3_int8_pre_dispatch(
+            xq, scale, wpart, w_scale, bias_, out_dtype, res_, emit
+        )
+        assert r is not None, "plan_any above guarantees a res-resident plan"
+        return r if emit else r[0]
 
     out1 = conv_part(xq1, wq[:, :, :c1], bias, res)
     # the second part's epilogue sees the FINAL sum (res chained), so its
     # moments are the moments of the true output
-    return conv_part(xq2, wq[:, :, c1:], jnp.zeros_like(bias), out1,
-                     emit=emit_moments)
+    fin = conv_part(xq2, wq[:, :, c1:], jnp.zeros_like(bias), out1,
+                    emit=emit_moments)
+    return fin
 
 
 # ---------------------------------------------------------------------------

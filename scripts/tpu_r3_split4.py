@@ -30,19 +30,24 @@ z = jnp.ones((8, 128), jnp.bfloat16)
 print(f"floor: {timed(lambda c: c + 1.0, z)*1e3:.3f} ms", flush=True)
 
 
-def fake_conv_forward(x, kernel, bias, scale, dtype, quant):
+def fake_conv_forward(x, kernel, bias, scale, dtype, quant, strides=1, res=None):
     co = kernel.shape[-1]
     ci = x.shape[-1]
     x = x.astype(dtype)
+    if strides != 1:
+        x = x[:, ::strides, ::strides]
     if co <= ci:
-        return x[..., :co] + bias.astype(dtype)
-    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, co - ci),)) + bias.astype(dtype)
+        out = x[..., :co] + bias.astype(dtype)
+    else:
+        out = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, co - ci),)) + bias.astype(dtype)
+    return out + res.astype(dtype) if res is not None else out
 
 
 def fake_gn_silu_conv(x, gs, gb, wq, ws, cb, num_groups, emb=None,
-                      scale_shift=None, out_dtype=jnp.bfloat16):
-    co = wq.shape[-1]
-    return fake_conv_forward(x, wq, cb, ws, out_dtype, True)
+                      scale_shift=None, out_dtype=jnp.bfloat16, res=None,
+                      moments=None, emit_moments=False):
+    out = fake_conv_forward(x, wq, cb, ws, out_dtype, True, res=res)
+    return (out, None) if emit_moments else out
 
 
 def unet_time(label, patch_conv=False):
