@@ -1271,8 +1271,13 @@ class UNetModel(nn.Module):
                 if mom is not None and not dup_on:
                     extra["in_moments"] = mom
                 emit = chain and (nxt == "res" or (last and want_out_mom))
-                h = layer(h, context, cross_kv=kv, emit_moments=emit,
-                          **extra, **kwargs)
+                # Only pass boolean flags when set: jax.checkpoint traces every
+                # kwarg, so a Python False through nn.remat becomes a bool[]
+                # tracer that breaks `if emit_moments` (remat never coexists
+                # with quant, so set flags never reach a remat-wrapped layer).
+                if emit:
+                    extra["emit_moments"] = True
+                h = layer(h, context, cross_kv=kv, **extra, **kwargs)
                 mom = None
                 if emit:
                     h, mom = h
