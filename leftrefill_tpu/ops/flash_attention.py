@@ -75,10 +75,16 @@ def set_exp2(on: bool) -> None:
     _EXP2 = bool(on)
 
 
-def _pick_block(n_other: int, n_blocked: int, dtype=jnp.bfloat16) -> int:
+def _pick_block(
+    n_other: int, n_blocked: int, dtype=jnp.bfloat16, cap: int | None = None
+) -> int:
     """Forward block size: ONE fp32 score tile (blk x n_other) + its exp
     dominate VMEM.  fp32 inputs (fidelity reference runs) double the resident
-    K/V so the q block shrinks."""
+    K/V so the q block shrinks.  `cap` bounds the block: the VJP-path forward
+    (remat recompute inside the train step) passes DEFAULT_BLOCK_Q because the
+    2x block's 16.12M scoped-vmem footprint compiles standalone but exceeds
+    the 16M limit by 120K inside the rematted train graph (measured: the 865M
+    B=2 train step failed AOT at blk256, ran at blk128 in r2)."""
     if n_other <= 8192:
         # 256 measured +2 TF/s over 128 at the ds1 shape (N=8192, D=64):
         # 78 -> 80 TF/s, same rel_err (scripts/tpu_r3_attnprobe2.py); the
@@ -91,6 +97,8 @@ def _pick_block(n_other: int, n_blocked: int, dtype=jnp.bfloat16) -> int:
     if dtype == jnp.float32 and n_other >= 4096:
         # fp32 keeps the r2 sizing (an f32 plan at 2x blew scoped vmem)
         blk = max(min(blk, DEFAULT_BLOCK_Q) // 8, 16)
+    if cap is not None:
+        blk = min(blk, cap)
     blk = min(blk, n_blocked)
     # the q grid needs blk | n_blocked (no masked tail blocks in the kernel)
     while n_blocked % blk:
@@ -166,14 +174,14 @@ def _flash_kernel(
 
 
 def _flash_forward(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float, blk_cap: int | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (o [B,H,Nq,D], lse [B*H,Nq,1] fp32 softmax logsumexp).  lse
     keeps a trailing singleton dim: Mosaic requires the last two block dims to
     divide (8,128) or equal the array dims, which (blk_q, 1) satisfies."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    blk_q = _pick_block(nk, nq, q.dtype)
+    blk_q = _pick_block(nk, nq, q.dtype, cap=blk_cap)
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
@@ -403,7 +411,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> j
 
 
 def _fwd(q, k, v, scale):
-    o, l = _flash_forward(q, k, v, scale)
+    # Differentiation path (incl. the remat recompute): r2 block sizing — the
+    # inference-tuned 2x block blows the 16M scoped-vmem limit by 120K inside
+    # the rematted 865M train graph (see _pick_block).
+    o, l = _flash_forward(q, k, v, scale, blk_cap=DEFAULT_BLOCK_Q)
     return o, (q, k, v, o, l)
 
 
