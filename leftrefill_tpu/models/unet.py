@@ -424,7 +424,7 @@ class ResBlock(nn.Module):
 
         fused = False
         if (
-            os.environ.get("LEFTREFILL_FUSED_RES", "1") != "0"
+            os.environ.get("LEFTREFILL_FUSED_RES", "0") != "0"
             and self.quant
             and k1.dtype == jnp.int8
             and not self.up
@@ -449,7 +449,7 @@ class ResBlock(nn.Module):
                 fused = True
                 # conv1's epilogue emits the per-channel (Σh, Σh²) so the
                 # second GN skips its own full-tensor moments read
-                emit = os.environ.get("LEFTREFILL_CONV_MOMENTS", "1") != "0"
+                emit = os.environ.get("LEFTREFILL_CONV_MOMENTS", "0") != "0"
                 mom = None
                 if parts is not None:
                     h = gn_silu_conv3x3_int8_cat2(
@@ -469,7 +469,7 @@ class ResBlock(nn.Module):
                     mom = _mom_tuple(mom)
                 # residual add fused into the out-conv epilogue (saves one
                 # HBM round-trip of h per block, openaimodel.py:273)
-                if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0":
+                if os.environ.get("LEFTREFILL_FUSED_RESADD", "0") != "0":
                     if self.out_channels == in_ch:
                         skip = (
                             jnp.concatenate(parts, axis=-1) if parts is not None else x
@@ -540,7 +540,7 @@ class ResBlock(nn.Module):
                     self.out_channels, dtype=self.dtype, name="skip_connection",
                     quant=self.quant,
                 )(x)
-            if os.environ.get("LEFTREFILL_FUSED_RESADD", "1") != "0" and x.ndim == 4:
+            if os.environ.get("LEFTREFILL_FUSED_RESADD", "0") != "0" and x.ndim == 4:
                 # residual fused into the out-conv epilogue where a plan fits
                 out = conv3x3_forward(
                     h, k2, c2b, s2, self.dtype, self.quant, res=skip
@@ -640,7 +640,7 @@ class GEGLUFeedForward(nn.Module):
                 # A/B gate for the fused-residual epilogue (scripts/tpu_r3_resadd_ab.py)
                 fuse_res = (
                     res is not None
-                    and os.environ.get("LEFTREFILL_FUSED_FFRES", "1") != "0"
+                    and os.environ.get("LEFTREFILL_FUSED_FFRES", "0") != "0"
                 )
                 pq = None
                 if pre_quant is not None and pre_quant[0] is not None:
@@ -658,7 +658,7 @@ class GEGLUFeedForward(nn.Module):
                 if res is not None and not fuse_res:
                     out = out + res.astype(out.dtype)
                 return out
-            if res is not None and os.environ.get("LEFTREFILL_FUSED_FFRES", "1") != "0":
+            if res is not None and os.environ.get("LEFTREFILL_FUSED_FFRES", "0") != "0":
                 from leftrefill_tpu.ops.mlp import geglu_fused_res
 
                 out = geglu_fused_res(
@@ -859,7 +859,7 @@ class BasicTransformerBlock(nn.Module):
             dup_to_context = False
         # fused LN+rowwise-quant prenorms (one Pallas pass feeds both the
         # attention projections and the FF kernel their int8 activations)
-        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
+        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "0") != "0"
         # with the int8 tree loaded every prenorm consumer reads the int8
         # side, so the kernels skip the bf16 x_norm HBM write entirely (the
         # int8 xq stands in for shape-probing arguments)
@@ -986,7 +986,7 @@ class SpatialTransformer(nn.Module):
             self.quant
             and self.use_linear
             and x.dtype == jnp.bfloat16
-            and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
+            and os.environ.get("LEFTREFILL_FUSED_LNQ", "0") != "0"
         ):
             from leftrefill_tpu.ops.quant import gn_quant_qualifies, gn_quant_rowwise
 
@@ -1251,7 +1251,7 @@ class UNetModel(nn.Module):
         # full-tensor statistics/abs-max reads.  ``in_mom`` carries the stats
         # of the incoming h across block-entry boundaries (the UNet loop);
         # ``want_out_mom`` asks for the stats of the returned h.
-        chain = self.quant and os.environ.get("LEFTREFILL_CONV_MOMENTS", "1") != "0"
+        chain = self.quant and os.environ.get("LEFTREFILL_CONV_MOMENTS", "0") != "0"
         mom = in_mom if chain else None
         for i, (kind, layer) in enumerate(layers):
             nxt = layers[i + 1][0] if i + 1 < len(layers) else None
@@ -1364,7 +1364,7 @@ class UNetModel(nn.Module):
             if (
                 self.quant
                 and layers[0][0] == "res"
-                and os.environ.get("LEFTREFILL_SPLIT_CAT", "1") != "0"
+                and os.environ.get("LEFTREFILL_SPLIT_CAT", "0") != "0"
             ):
                 # unmaterialized channel concat: the leading ResBlock consumes
                 # the parts via split-kernel convs (openaimodel.py:760)

@@ -38,7 +38,23 @@ def forced_tpu_dispatch(monkeypatch):
     monkeypatch.setattr(attn_mod, "jax", _FakeJax())
 
 
+#: the r3-late fusion family is default-OFF (measured −2.5% as a group on the
+#: DDIM-50 bench: cfgdup_only 0.7158 vs all-on 0.6979 canvases/s) but every
+#: kernel stays maintained behind its gate — this net pins the all-ON
+#: structure so a qualifier/plan regression can't silently fall back to XLA.
+FUSION_FAMILY = (
+    "LEFTREFILL_FUSED_RES",
+    "LEFTREFILL_FUSED_RESADD",
+    "LEFTREFILL_FUSED_FFRES",
+    "LEFTREFILL_FUSED_LNQ",
+    "LEFTREFILL_SPLIT_CAT",
+    "LEFTREFILL_CONV_MOMENTS",
+)
+
+
 def _count_unet_dispatch(monkeypatch, quant: bool):
+    for f in FUSION_FAMILY:
+        monkeypatch.setenv(f, "1")
     import leftrefill_tpu.ops.conv as conv_mod
     import leftrefill_tpu.ops.flash_attention as fa_mod
     import leftrefill_tpu.ops.mlp as mlp_mod
