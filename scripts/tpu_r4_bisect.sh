@@ -20,14 +20,14 @@ run_bench() {  # name, env assignments...
 }
 
 run_bench defaults_ref                                 # re-baseline this epoch
+run_bench dpm20          BENCH_SAMPLER=dpm++2m BENCH_STEPS=20
+run_bench vae8           BENCH_QUANT_VAE=1
+
 run_bench only_fusedres  LEFTREFILL_FUSED_RES=1
 run_bench only_resadd    LEFTREFILL_FUSED_RESADD=1
 run_bench only_ffres     LEFTREFILL_FUSED_FFRES=1
 run_bench only_lnq       LEFTREFILL_FUSED_LNQ=1
 run_bench only_splitcat  LEFTREFILL_SPLIT_CAT=1
 run_bench only_moments   LEFTREFILL_CONV_MOMENTS=1
-
-run_bench dpm20          BENCH_SAMPLER=dpm++2m BENCH_STEPS=20
-run_bench vae8           BENCH_QUANT_VAE=1
 
 echo "$(date -u +%H:%M:%S) R4 BISECT DONE"
