@@ -20,14 +20,26 @@ run_bench() {  # name, env assignments...
 }
 
 run_bench defaults_ref                                 # re-baseline this epoch
-run_bench dpm20          BENCH_SAMPLER=dpm++2m BENCH_STEPS=20
-run_bench vae8           BENCH_QUANT_VAE=1
 
-run_bench only_fusedres  LEFTREFILL_FUSED_RES=1
-run_bench only_resadd    LEFTREFILL_FUSED_RESADD=1
-run_bench only_ffres     LEFTREFILL_FUSED_FFRES=1
-run_bench only_lnq       LEFTREFILL_FUSED_LNQ=1
-run_bench only_splitcat  LEFTREFILL_SPLIT_CAT=1
-run_bench only_moments   LEFTREFILL_CONV_MOMENTS=1
+# Deadline guard (added mid-run; bash reads the tail lazily): the driver's
+# end-of-round bench.py must run UNCONTENDED, and this chain is detached —
+# stop starting new cells once the session budget is near.  01:00:00 UTC
+# = unix 1787101200 (~40 min into the session).
+DEADLINE=${R4_DEADLINE:-1787101200}
+guard() { if [ "$(date +%s)" -ge "$DEADLINE" ]; then echo "$(date -u +%H:%M:%S) deadline reached - stopping queue"; exit 0; fi; }
+
+guard; run_bench dpm20          BENCH_SAMPLER=dpm++2m BENCH_STEPS=20
+guard; run_bench vae8           BENCH_QUANT_VAE=1
+
+guard; run_bench only_fusedres  LEFTREFILL_FUSED_RES=1
+guard; run_bench only_resadd    LEFTREFILL_FUSED_RESADD=1
+guard; run_bench only_ffres     LEFTREFILL_FUSED_FFRES=1
+guard; run_bench only_lnq       LEFTREFILL_FUSED_LNQ=1
+guard; run_bench only_splitcat  LEFTREFILL_SPLIT_CAT=1
+guard; run_bench only_moments   LEFTREFILL_CONV_MOMENTS=1
+
+# part-2 cells (unmeasured r3 gates), same guard
+guard; run_bench xla_s8conv     LEFTREFILL_INT8_XLA_CONV=1
+guard; run_bench taps_concat    LEFTREFILL_INT8_CONV_TAPS=concat
 
 echo "$(date -u +%H:%M:%S) R4 BISECT DONE"
