@@ -29,16 +29,18 @@ DEADLINE=${R4_DEADLINE:-1787101200}
 guard() { if [ "$(date +%s)" -ge "$DEADLINE" ]; then echo "$(date -u +%H:%M:%S) deadline reached - stopping queue"; exit 0; fi; }
 
 guard; run_bench dpm20          BENCH_SAMPLER=dpm++2m BENCH_STEPS=20
-guard; run_bench vae8           BENCH_QUANT_VAE=1
 
+# Reordered mid-run (bash reads lazily): bisect flags first — a single-flag
+# win >2% flips a default THIS round; vae8 is informational until its
+# quality A/B runs (needs TPU time we don't have today).
+guard; run_bench only_splitcat  LEFTREFILL_SPLIT_CAT=1
 guard; run_bench only_fusedres  LEFTREFILL_FUSED_RES=1
-guard; run_bench only_resadd    LEFTREFILL_FUSED_RESADD=1
+guard; run_bench only_moments   LEFTREFILL_CONV_MOMENTS=1
 guard; run_bench only_ffres     LEFTREFILL_FUSED_FFRES=1
 guard; run_bench only_lnq       LEFTREFILL_FUSED_LNQ=1
-guard; run_bench only_splitcat  LEFTREFILL_SPLIT_CAT=1
-guard; run_bench only_moments   LEFTREFILL_CONV_MOMENTS=1
+guard; run_bench only_resadd    LEFTREFILL_FUSED_RESADD=1
 
-# part-2 cells (unmeasured r3 gates), same guard
+guard; run_bench vae8           BENCH_QUANT_VAE=1
 guard; run_bench xla_s8conv     LEFTREFILL_INT8_XLA_CONV=1
 guard; run_bench taps_concat    LEFTREFILL_INT8_CONV_TAPS=concat
 
