@@ -30,9 +30,14 @@ guard() { if [ "$(date +%s)" -ge "$DEADLINE" ]; then echo "$(date -u +%H:%M:%S) 
 
 guard; run_bench dpm20          BENCH_SAMPLER=dpm++2m BENCH_STEPS=20
 
-# Reordered mid-run (bash reads lazily): bisect flags first — a single-flag
-# win >2% flips a default THIS round; vae8 is informational until its
-# quality A/B runs (needs TPU time we don't have today).
+# Snapshot results into the repo: /tmp dies with the VM, and the driver
+# commits uncommitted repo files at round end — so cells that finish after
+# the builder's last commit still reach the next round.
+mkdir -p /root/repo/bench_logs_r4
+snap() { cp /tmp/bench_*_r4.log /tmp/r4_bisect.log /root/repo/bench_logs_r4/ 2>/dev/null; }
+snap
+guard() { snap; if [ "$(date +%s)" -ge "$DEADLINE" ]; then echo "$(date -u +%H:%M:%S) deadline reached - stopping queue"; snap; exit 0; fi; }
+
 guard; run_bench only_splitcat  LEFTREFILL_SPLIT_CAT=1
 guard; run_bench only_fusedres  LEFTREFILL_FUSED_RES=1
 guard; run_bench only_moments   LEFTREFILL_CONV_MOMENTS=1
@@ -44,4 +49,5 @@ guard; run_bench vae8           BENCH_QUANT_VAE=1
 guard; run_bench xla_s8conv     LEFTREFILL_INT8_XLA_CONV=1
 guard; run_bench taps_concat    LEFTREFILL_INT8_CONV_TAPS=concat
 
+snap
 echo "$(date -u +%H:%M:%S) R4 BISECT DONE"
