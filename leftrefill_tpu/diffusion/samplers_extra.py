@@ -221,30 +221,54 @@ def dpm_solver_pp_2m_sample(
     lam = log_alpha - np.log(sigma)
     t_input = (ts - 1.0 / n_train) * 1000.0  # get_model_input_time (discrete)
 
-    def x0_of(x, i):
-        t = jnp.full((b,), np.float32(t_input[i]), dtype=jnp.float32)
-        out = _guided_eps(model, apply_fn, x, t, cond, uncond_, guidance_scale)
+    def x0_of_t(x, t, a, s):
+        tvec = jnp.full((b,), t, dtype=jnp.float32)
+        out = _guided_eps(model, apply_fn, x, tvec, cond, uncond_, guidance_scale)
         if model.parameterization == "v":
             # model_wrapper 'v': eps = alpha_t * v + sigma_t * x
-            out = np.float32(alpha[i]) * out + np.float32(sigma[i]) * x
-        return (x - np.float32(sigma[i]) * out) / np.float32(alpha[i])
+            out = a * out + s * x
+        return (x - s * out) / a
+
+    def x0_of(x, i):
+        return x0_of_t(x, np.float32(t_input[i]), np.float32(alpha[i]), np.float32(sigma[i]))
 
     # init: model at t_T, then a first-order step to ts[1]
     m_prev = x0_of(x, 0)
     h = lam[1] - lam[0]
     x = np.float32(sigma[1] / sigma[0]) * x - np.float32(alpha[1] * np.expm1(-h)) * m_prev
 
-    for step in range(2, steps + 1):
-        m_cur = x0_of(x, step - 1)
-        order = 1 if (steps < 15 and step == steps) else 2
-        h = lam[step] - lam[step - 1]
-        c_x = np.float32(sigma[step] / sigma[step - 1])
-        c_m = np.float32(alpha[step] * np.expm1(-h))
-        if order == 2:
-            r0 = (lam[step - 1] - lam[step - 2]) / h
-            d1 = (m_cur - m_prev) / np.float32(r0)
-            x = c_x * x - c_m * m_cur - 0.5 * c_m * d1
-        else:
-            x = c_x * x - c_m * m_cur
-        m_prev = m_cur
+    # second-order multistep body as ONE lax.scan over precomputed per-step
+    # coefficients.  (The r3 python-for unrolled `steps` copies of the 865M
+    # UNet into the graph: a 39-min compile and an HBM OOM inside bench.py's
+    # outer canvas scan — bench_logs_r4/bench_dpm20_r4.log.  Same math,
+    # step-for-step: d1/r0 == (m_cur - m_prev) * h/(lam[i-1] - lam[i-2]).)
+    last_first_order = steps < 15  # lower_order_final, dpm_solver.py:1015-1018
+    hi = steps - 1 if last_first_order else steps  # scan covers steps 2..hi
+    idx = np.arange(2, hi + 1)
+    if len(idx):
+        h_s = lam[idx] - lam[idx - 1]
+        tabs = {
+            "t": jnp.asarray(np.float32(t_input[idx - 1])),
+            "a": jnp.asarray(np.float32(alpha[idx - 1])),
+            "s": jnp.asarray(np.float32(sigma[idx - 1])),
+            "c_x": jnp.asarray(np.float32(sigma[idx] / sigma[idx - 1])),
+            "c_m": jnp.asarray(np.float32(alpha[idx] * np.expm1(-h_s))),
+            "inv_r0": jnp.asarray(np.float32(h_s / (lam[idx - 1] - lam[idx - 2]))),
+        }
+
+        def body(carry, tb):
+            x, m_prev = carry
+            m_cur = x0_of_t(x, tb["t"], tb["a"], tb["s"])
+            d1 = (m_cur - m_prev) * tb["inv_r0"]
+            x = tb["c_x"] * x - tb["c_m"] * m_cur - 0.5 * tb["c_m"] * d1
+            return (x, m_cur), None
+
+        (x, m_prev), _ = jax.lax.scan(body, (x, m_prev), tabs)
+    if last_first_order and steps >= 2:
+        m_cur = x0_of(x, steps - 1)
+        h = lam[steps] - lam[steps - 1]
+        x = (
+            np.float32(sigma[steps] / sigma[steps - 1]) * x
+            - np.float32(alpha[steps] * np.expm1(-h)) * m_cur
+        )
     return x
