@@ -831,12 +831,21 @@ def test_resblock_conv_moments_matches_recompute(monkeypatch):
 
 def test_resblock_emit_moments_interface(monkeypatch):
     """ResBlock(emit_moments=True) returns (out, (Σ, Σ²)) on the fused int8
-    path with sums matching the actual output, and (out, None) on fp paths."""
+    path with sums matching the actual output, and (out, None) on fp paths.
+
+    Block-output moments are only emittable when the residual add is fused
+    into the conv2 epilogue (otherwise the epilogue stats miss the skip add),
+    so the contract requires the full fused family ON — the gates shipped
+    default-OFF after the r3 family A/B (CLAUDE.md §3b); setenv them here
+    like tests/test_dispatch_structure.py does."""
     import leftrefill_tpu.ops.conv as conv_mod
     from leftrefill_tpu.models.unet import ResBlock
     from leftrefill_tpu.ops.quant import quantize_params_like
 
     monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
+    monkeypatch.setenv("LEFTREFILL_FUSED_RES", "1")
+    monkeypatch.setenv("LEFTREFILL_FUSED_RESADD", "1")
+    monkeypatch.setenv("LEFTREFILL_CONV_MOMENTS", "1")
     b, h, w, c = 1, 16, 32, 128
     rng = np.random.RandomState(13)
     x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
