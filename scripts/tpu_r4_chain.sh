@@ -56,3 +56,13 @@ guard; run_bench b4             BENCH_BATCH=4
 
 snap
 echo "$(date -u +%H:%M:%S) R4 CHAIN DONE"
+
+# --- appended mid-run (lazy tail read): follow-up cells ---
+guard; run_bench dpm10 BENCH_SAMPLER=dpm++2m BENCH_STEPS=10
+guard
+echo "$(date -u +%H:%M:%S) mv_quality"
+python scripts/tpu_r4_mv_quality.py > /tmp/mv_quality_r4.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_quality_r4.log | head -1)"
+cp /tmp/mv_quality_r4.log /root/repo/bench_logs_r4/ 2>/dev/null
+snap
+echo "$(date -u +%H:%M:%S) R4 CHAIN TAIL DONE"
