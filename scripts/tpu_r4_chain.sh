@@ -66,3 +66,14 @@ echo "rc=$? $(tail -2 /tmp/mv_quality_r4.log | head -1)"
 cp /tmp/mv_quality_r4.log /root/repo/bench_logs_r4/ 2>/dev/null
 snap
 echo "$(date -u +%H:%M:%S) R4 CHAIN TAIL DONE"
+
+guard
+echo "$(date -u +%H:%M:%S) b4_split"
+python scripts/tpu_r4_b4_split.py > /tmp/b4_split_r4.log 2>&1
+echo "rc=$? $(tail -2 /tmp/b4_split_r4.log | head -1)"
+cp /tmp/b4_split_r4.log /root/repo/bench_logs_r4/ 2>/dev/null
+
+# combined fast path: if vae8's speed cell won, this is the new serving config
+guard; run_bench dpm20_vae8 BENCH_SAMPLER=dpm++2m BENCH_STEPS=20 BENCH_QUANT_VAE=1
+snap
+echo "$(date -u +%H:%M:%S) R4 CHAIN TAIL2 DONE"
