@@ -77,3 +77,11 @@ cp /tmp/b4_split_r4.log /root/repo/bench_logs_r4/ 2>/dev/null
 guard; run_bench dpm20_vae8 BENCH_SAMPLER=dpm++2m BENCH_STEPS=20 BENCH_QUANT_VAE=1
 snap
 echo "$(date -u +%H:%M:%S) R4 CHAIN TAIL2 DONE"
+
+guard
+echo "$(date -u +%H:%M:%S) mv_dpm20 (int8 + 20-step dpm++2m multiview e2e)"
+MV_QUANT=1 MV_SAMPLER=dpm++2m MV_STEPS=20 python scripts/tpu_multiview_e2e.py > /tmp/mv_dpm20_r4.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_dpm20_r4.log | head -1)"
+cp /tmp/mv_dpm20_r4.log /root/repo/bench_logs_r4/ 2>/dev/null
+snap
+echo "$(date -u +%H:%M:%S) R4 CHAIN TAIL3 DONE"
