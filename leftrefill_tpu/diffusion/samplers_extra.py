@@ -182,6 +182,7 @@ def dpm_solver_pp_2m_sample(
     uncond: Optional[Conditioning] = None,
     guidance_scale: float = 1.0,
     x_T: Optional[jax.Array] = None,
+    num_steps: Optional[int] = None,
 ) -> jax.Array:
     """DPM-Solver++(2M), reference-exact (round-3 rewrite for trajectory
     parity with the vendored sampler — tested in tests/test_sampler_golden.py).
@@ -202,12 +203,15 @@ def dpm_solver_pp_2m_sample(
       second order.
 
     ``tables`` supplies only the step count (the grid is time-uniform, not
-    the DDIM sub-schedule).
+    the DDIM sub-schedule).  ``num_steps`` overrides it exactly: the DDIM
+    table build rounds non-divisors of the train schedule up by one
+    (make_ddim_timesteps' range stride), which would silently shift e.g. a
+    requested 15-step run to 16.
     """
     uncond_ = uncond if (uncond is not None and guidance_scale != 1.0) else None
     b = shape[0]
     n_train = model.schedule.num_timesteps
-    steps = tables.num_steps
+    steps = num_steps if num_steps is not None else tables.num_steps
     key, init_key = jax.random.split(key)
     x = x_T if x_T is not None else jax.random.normal(init_key, shape, dtype=jnp.float32)
 

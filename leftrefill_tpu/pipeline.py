@@ -156,6 +156,7 @@ def _generate(
         z = dpm_solver_pp_2m_sample(
             model, apply_fn, tables, cond, key, shape,
             uncond=uncond, guidance_scale=guidance_scale, x_T=x_T,
+            num_steps=ddim_steps,
         )
     else:
         z = ddim_sample(

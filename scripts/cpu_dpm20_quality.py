@@ -54,6 +54,8 @@ runs = {
     "gold_ddim200": ("ddim", 200),
     "ddim50": ("ddim", 50),
     "dpm20": ("dpm++2m", 20),
+    "dpm15": ("dpm++2m", 15),
+    "dpm12": ("dpm++2m", 12),
     "dpm10": ("dpm++2m", 10),
 }
 outs = {}
@@ -72,7 +74,7 @@ for name, (sampler, steps) in runs.items():
 
 gold = outs["gold_ddim200"]
 report = {}
-for name in ("ddim50", "dpm20", "dpm10"):
+for name in ("ddim50", "dpm20", "dpm15", "dpm12", "dpm10"):
     # right (inpainted) half only: the left half is a composite passthrough
     d = (outs[name] - gold)[:, :, 32:]
     mse = float((d**2).mean())

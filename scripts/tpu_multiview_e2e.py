@@ -69,7 +69,7 @@ def sample_dpm(up, vp, key):
     uncond = Conditioning(c_concat=c_concat, c_crossattn=ctx_u)
     x = dpm_solver_pp_2m_sample(
         _mv_model, apply_fn, tables, cond, key, (V, 64, 128, 4),
-        uncond=uncond, guidance_scale=2.5,
+        uncond=uncond, guidance_scale=2.5, num_steps=STEPS,
     )
     img = vae.apply(vp, x.astype(jnp.bfloat16) / 0.18215, method=vae.decode)
     return jnp.sum(img.astype(jnp.float32))

@@ -85,3 +85,10 @@ echo "rc=$? $(tail -2 /tmp/mv_dpm20_r4.log | head -1)"
 cp /tmp/mv_dpm20_r4.log /root/repo/bench_logs_r4/ 2>/dev/null
 snap
 echo "$(date -u +%H:%M:%S) R4 CHAIN TAIL3 DONE"
+
+# dpm15: solver accuracy 64.9 dB vs gold > ddim50's 63.0 (cpu_dpm20_quality),
+# throughput extrapolates past the 2.0 north star.  dpm12 for the curve.
+guard; run_bench dpm15 BENCH_SAMPLER=dpm++2m BENCH_STEPS=15
+guard; run_bench dpm12 BENCH_SAMPLER=dpm++2m BENCH_STEPS=12
+snap
+echo "$(date -u +%H:%M:%S) R4 CHAIN TAIL4 DONE"

@@ -154,10 +154,11 @@ def test_plms_trajectory_parity(ref_mod, sched, cfg):
     assert d < 5e-5, f"PLMS trajectory diverges: max|diff|={d:.2e}"
 
 
-@pytest.mark.parametrize("steps,cfg", [(8, 2.5), (20, 1.0), (20, 2.5)])
+@pytest.mark.parametrize("steps,cfg", [(8, 2.5), (15, 2.5), (20, 1.0), (20, 2.5)])
 def test_dpm_solver_pp_2m_trajectory_parity(ref_mod, sched, steps, cfg):
-    """Covers lower_order_final (steps<15), the >=15 branch, and the 20-step
-    serving config."""
+    """Covers lower_order_final (steps<15), the >=15 branch, the 20-step
+    serving config, and a non-divisor-of-1000 count (15: the DDIM table
+    build rounds it to 16, so the explicit num_steps override must win)."""
     x_T = _x_T()
     cond_v, uncond_v = 2.0, 0.5
     b = SHAPE[0]
@@ -178,7 +179,9 @@ def test_dpm_solver_pp_2m_trajectory_parity(ref_mod, sched, steps, cfg):
     )
 
     jm = _JaxFakeModel(sched)
-    tables = sched.ddim_tables(steps, eta=0.0)  # supplies the step count only
+    # the DDIM tables supply only a default step count (and round 15 -> 16,
+    # a non-divisor of 1000) — num_steps pins the exact requested count
+    tables = sched.ddim_tables(steps, eta=0.0)
     ours = dpm_solver_pp_2m_sample(
         jm,
         _jax_apply_fn,
@@ -189,6 +192,7 @@ def test_dpm_solver_pp_2m_trajectory_parity(ref_mod, sched, steps, cfg):
         uncond=Conditioning(c_crossattn=jnp.full((b, 1), uncond_v)),
         guidance_scale=cfg,
         x_T=jnp.asarray(x_T),
+        num_steps=steps,
     )
     d = np.abs(np.asarray(ours) - ref_out.numpy()).max()
     assert d < 1e-4, f"DPM-Solver++(2M) trajectory diverges: max|diff|={d:.2e}"
