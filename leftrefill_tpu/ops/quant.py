@@ -444,15 +444,18 @@ def _plan_int8(h, w, ci, co, res=False, moments=False):
 
 # tap accumulation strategy for the int8 copy3 kernel, mirroring the bf16
 # kernel's (ops/conv.py): "sum9" = 9 K=blk_ci dots; "dy3" = 3 dots with the
-# dy taps concatenated along K (K=3*blk_ci); "concat" = one K=9*blk_ci dot.
-# Deeper K matters more at int8 (the 2x MXU rate needs deep contractions to
-# amortize tile setup) at the price of an in-VMEM im2col concat per step.
+# dy taps concatenated along K (K=3*blk_ci).  Deeper K matters more at int8
+# (the 2x MXU rate needs deep contractions to amortize tile setup) at the
+# price of an in-VMEM im2col concat per step.  A full "concat" mode (one
+# K=9*blk_ci dot) was removed: its 9x im2col buffer blew scoped VMEM by
+# 2.25M at L0 320ch (bench_logs_r4/bench_taps_concat_r4.log) and a 9x
+# smaller block plan would forfeit the MXU depth it was meant to buy.
 _INT8_TAP_MODE = os.environ.get("LEFTREFILL_INT8_CONV_TAPS", "sum9")
 
 
 def set_int8_tap_mode(mode: str) -> None:
     global _INT8_TAP_MODE
-    assert mode in ("sum9", "dy3", "concat")
+    assert mode in ("sum9", "dy3")
     _INT8_TAP_MODE = mode
 
 
@@ -476,21 +479,7 @@ def _conv_int8_kernel(
     h = o_ref.shape[1]
     blk_w = o_ref.shape[2]
     blk_ci = x0.shape[3]
-    if tap_mode == "concat":
-        # ordering (dy, dx, ci) to match w.reshape(9*blk_ci, co)
-        tiles = [
-            xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
-            for dy in range(3)
-            for xr in (x0, x1, x2)
-        ]
-        xs = jnp.concatenate(tiles, axis=1)
-        wf = w_ref[...].reshape(9 * blk_ci, w_ref.shape[3])
-        acc_ref[...] += jax.lax.dot_general(
-            xs, wf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-    elif tap_mode == "dy3":
+    if tap_mode == "dy3":
         for dx, xr in enumerate((x0, x1, x2)):
             xs = jnp.concatenate(
                 [xr[0, dy : dy + h].reshape(h * blk_w, blk_ci) for dy in range(3)],

@@ -37,6 +37,7 @@ def _canvas(batch=1, seed=0):
     return stitch_canvas(ref, src, np.ones((batch, 32, 32, 1), np.float32))
 
 
+@pytest.mark.slow
 def test_cfg_parallel_matches_single_device():
     """B=1 CFG protocol on a 2-device axis: cond/uncond branches run on
     different chips; output must match the single-device pipeline."""
@@ -46,6 +47,7 @@ def test_cfg_parallel_matches_single_device():
     np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_serving_batch_over_eight_devices():
     """A 4-canvas serving batch = 8 UNet samples under CFG, one per device."""
     image, mask = _canvas(batch=4, seed=1)
@@ -55,6 +57,7 @@ def test_serving_batch_over_eight_devices():
     np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_indivisible_batch_raises():
     model, params = build_tiny_bundle()
     apply_fn = batch_parallel_apply(model, params, _mesh(8))
@@ -68,6 +71,7 @@ def test_indivisible_batch_raises():
         apply_fn(x, jnp.zeros((2,), jnp.int32), cond)
 
 
+@pytest.mark.slow
 def test_apply_parity_with_kv_cache():
     """batch_parallel_apply with a conditioning KV cache == plain apply_model."""
     model, params = build_tiny_bundle()

@@ -130,6 +130,7 @@ def workdir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(workdir):
     from leftrefill_tpu.cli.train import main
 
@@ -163,6 +164,7 @@ def test_train_cli_end_to_end(workdir):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_eval_cli_end_to_end(workdir):
     from leftrefill_tpu.cli.test import main
 
@@ -189,6 +191,7 @@ def test_eval_cli_end_to_end(workdir):
     assert glob(str(out / "*" / "*.png"))
 
 
+@pytest.mark.slow
 def test_sample_cli(workdir):
     """One-shot sample CLI on the trained smoke experiment."""
     from leftrefill_tpu.cli.sample import main
@@ -214,6 +217,7 @@ def test_sample_cli(workdir):
     assert img.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_eval_cli_metric_size_and_x4(workdir):
     """--metric_size area-downsampling + --manual_pairs_x4 repetition
     (test_inpainting.py:132-146)."""

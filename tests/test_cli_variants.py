@@ -211,6 +211,7 @@ def workdir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_multiview_train_smoke(workdir):
     from leftrefill_tpu.cli.train import main
 
@@ -228,6 +229,7 @@ def test_multiview_train_smoke(workdir):
     assert (save / "mv" / "ckpts" / "last").exists()
 
 
+@pytest.mark.slow
 def test_nvs_train_smoke(workdir):
     """NVS training with LoRA + pose conditioning end-to-end."""
     from leftrefill_tpu.cli.train import main
@@ -246,6 +248,7 @@ def test_nvs_train_smoke(workdir):
     assert (save / "nvs" / "ckpts" / "last").exists()
 
 
+@pytest.mark.slow
 def test_multiview_eval_cli(workdir):
     """--multiview eval path (test_multiview_inpainting.py equivalent);
     depends on the mv train smoke having created the experiment dir."""

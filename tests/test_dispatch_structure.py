@@ -106,6 +106,7 @@ def _count_unet_dispatch(monkeypatch, quant: bool):
     return counts
 
 
+@pytest.mark.slow
 def test_int8_unet_dispatch_counts(forced_tpu_dispatch, monkeypatch):
     c = _count_unet_dispatch(monkeypatch, quant=True)
     # all 44 ResBlock 3x3 convs run the fused GN+SiLU+quant+conv kernel;

@@ -403,6 +403,7 @@ def test_full_multiview_unet_parity(ref):
 # full CLIP text tower (open_clip layout oracle)
 
 
+@pytest.mark.slow
 def test_full_text_tower_parity():
     """PromptCLIPEmbedder full forward (blend -> +positional -> causal
     transformer with penultimate skip -> ln_final) vs a torch tower assembled

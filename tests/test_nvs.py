@@ -102,6 +102,7 @@ def test_nvs_embedder_pose_overwrite_and_cfg_dropout():
     assert np.allclose(np.asarray(z3), np.asarray(z4))
 
 
+@pytest.mark.slow
 def test_lora_merge_equivalence_and_targets():
     """merged kernel == base + scale*down@up; up=0 at init -> merge is
     identity (lora.py:25-26 init semantics)."""

@@ -56,6 +56,7 @@ def pipeline():
     )
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(pipeline):
     rng = np.random.RandomState(0)
     reference = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
@@ -93,6 +94,7 @@ def test_pipeline_deterministic_given_key(pipeline):
 
 
 
+@pytest.mark.slow
 def test_pipeline_dpm_sampler():
     """The opt-in dpm++2m fast path (samplers_extra.py) runs through the
     same pipeline contract: composited canvas, outside-mask pixels exact."""

@@ -30,6 +30,7 @@ def pipeline():
     )
 
 
+@pytest.mark.slow
 def test_headless_predict_flow(pipeline):
     from leftrefill_tpu.serving.gradio_app import pad_to_multiple, predict
 
@@ -69,6 +70,7 @@ def test_pad_to_multiple():
     assert np.array_equal(p[:100, :130], x)
 
 
+@pytest.mark.slow
 def test_predict_pads_non_64_multiple_inputs():
     """Non-/64 inputs take the edge-padding path (ref_inpainting_gradio.py:
     142-145,168-177) and the output crops back to img_size."""
@@ -98,6 +100,7 @@ def test_predict_pads_non_64_multiple_inputs():
     assert outs[0].dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_predict_with_dp_mesh_matches_single_device():
     """Serving with the CFG/batch-parallel mesh (--dp): same predict contract
     and identical output vs the unsharded pipeline at the same seed."""

@@ -105,6 +105,7 @@ def test_special_embedding_text_init(task):
         assert np.allclose(sp[i], expected, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_log_images_and_validation(task):
     t, params = task
     batch = _batch(t)
@@ -120,6 +121,7 @@ def test_log_images_and_validation(task):
     assert np.isfinite(np.asarray(log0["pred"])).all()
 
 
+@pytest.mark.slow
 def test_log_images_diagnostic_rows(task):
     """Round-3 (VERDICT item 8): the base-class diagnostic surface —
     diffusion_row (ddpm.py:1201-1214), denoise_row (:1221-1224) and
@@ -146,6 +148,7 @@ def test_log_images_diagnostic_rows(task):
     assert d.max() > 0.01
 
 
+@pytest.mark.slow
 def test_train_step_moves_only_prompt(task):
     from leftrefill_tpu.train.trainer import (
         OptimizerConfig,
@@ -182,6 +185,7 @@ def test_train_step_moves_only_prompt(task):
     assert np.abs(np.asarray(g["cond"]["special_embeddings"])).max() > 0
 
 
+@pytest.mark.slow
 def test_lora_train_step(task):
     """LoRA factors train alongside the prompt; merged kernels differ from
     base after the step (NVS optimizer-group semantics, NVS_ldm.py:314-345)."""
@@ -223,6 +227,7 @@ def test_lora_train_step(task):
     assert np.abs(np.asarray(eff_k) - np.asarray(base_k)).max() > 0
 
 
+@pytest.mark.slow
 def test_prompt_only_checkpoint_roundtrip(task, tmp_path):
     from leftrefill_tpu.train.checkpoints import (
         CheckpointManager,
@@ -254,6 +259,7 @@ def test_prompt_only_checkpoint_roundtrip(task, tmp_path):
     assert not unexpected
 
 
+@pytest.mark.slow
 def test_deep_prompt_uncond_tokens_shape():
     """Deep-prompt uncond must be [n, layers, 77] (Refill_modules.py:121-127;
     the embedder consumes [B, n_layer, L])."""
@@ -280,6 +286,7 @@ MV_TINY_YAML = TINY_YAML.replace(
 )
 
 
+@pytest.mark.slow
 def test_multiview_log_images_honors_N():
     """log_images(N) limits to N scenes (multiview_ref_inpainting_ldm.py:113)."""
     cfg = yaml.safe_load(MV_TINY_YAML)

@@ -23,6 +23,7 @@ from leftrefill_tpu.train.trainer import (
 from tests.test_tasks import TINY_YAML, _batch, unzero_kernels
 
 
+@pytest.mark.slow
 def test_full_gradient_path_descends():
     """All-parameter training on a fixed objective must collapse the loss —
     proves every gradient edge (VAE encode, conditioning, UNet, skip concats)

@@ -29,6 +29,7 @@ def tiny_unet():
     return model, params
 
 
+@pytest.mark.slow
 def test_unet_output_shape(tiny_unet):
     model, params = tiny_unet
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 9))
@@ -149,6 +150,7 @@ def test_deep_prompt_context_slices_per_layer(tiny_unet):
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(out3))
 
 
+@pytest.mark.slow
 def test_cfg_dup_bitexact(tiny_unet):
     """cfg_dup (CFG shared-prefix): with identical batch halves of x/t and
     differing context halves, the half-batch prefix + duplicate-at-first-
