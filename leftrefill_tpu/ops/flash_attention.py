@@ -181,7 +181,14 @@ def _flash_forward(
     divide (8,128) or equal the array dims, which (blk_q, 1) satisfies."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    blk_q = _pick_block(nk, nq, q.dtype, cap=blk_cap)
+    # The 2x (blk256) forward block has a 16.12M scoped-vmem footprint — over
+    # the 16M limit on paper, but Mosaic shaves it under the measured-good
+    # conditions (b*h <= 20: the b1/b2 CFG inference graphs, +2 TF/s at ds1).
+    # At b*h = 40 (batch-4 CFG) the same kernel fails AOT by 120K
+    # (bench_logs_r4/bench_b4_r4.log), exactly like the rematted train graph
+    # did — so larger batches keep the always-compiling blk128 sizing.
+    eff_cap = blk_cap if b * h <= 20 else min(blk_cap or DEFAULT_BLOCK_Q, DEFAULT_BLOCK_Q)
+    blk_q = _pick_block(nk, nq, q.dtype, cap=eff_cap)
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
