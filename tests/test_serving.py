@@ -61,6 +61,31 @@ def test_headless_predict_flow(pipeline):
     assert not np.array_equal(outs[0], outs3[0])
 
 
+@pytest.mark.slow
+def test_predict_sampler_variant(pipeline):
+    """Per-request sampler switch (the serving fast path): a dpm++2m request
+    runs through the same predict flow, produces a different trajectory than
+    ddim at the same seed, and caches a distinct pipeline variant."""
+    from leftrefill_tpu.serving.gradio_app import pipeline_variant, predict
+
+    rng = np.random.RandomState(1)
+    reference = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    source = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    sketch = np.zeros((32, 32), np.uint8)
+    sketch[8:24, 8:24] = 255
+
+    kw = dict(ddim_steps=4, num_samples=1, scale=2.5, seed=7, img_size=32)
+    out_ddim = predict(pipeline, reference, source, sketch, **kw)
+    out_dpm = predict(pipeline, reference, source, sketch, sampler="dpm++2m", **kw)
+    assert out_dpm[0].shape == (32, 32, 3)
+    assert not np.array_equal(out_ddim[0], out_dpm[0])
+    # variant caching keys on sampler: same (steps, scale) different sampler
+    v1 = pipeline_variant(pipeline, 4, 2.5, "dpm++2m")
+    v2 = pipeline_variant(pipeline, 4, 2.5, "dpm++2m")
+    assert v1 is v2 and v1.sampler == "dpm++2m"
+    assert pipeline_variant(pipeline, 4, 2.5) is pipeline  # base untouched
+
+
 def test_pad_to_multiple():
     from leftrefill_tpu.serving.gradio_app import pad_to_multiple
 
