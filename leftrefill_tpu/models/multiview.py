@@ -78,7 +78,7 @@ class MultiViewBasicTransformerBlock(BasicTransformerBlock):
 
         import os
 
-        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "0") != "0"
+        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
         i8 = lnq and self._int8_active()
 
         def attn1_pre(t):

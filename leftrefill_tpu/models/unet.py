@@ -424,7 +424,7 @@ class ResBlock(nn.Module):
 
         fused = False
         if (
-            os.environ.get("LEFTREFILL_FUSED_RES", "0") != "0"
+            os.environ.get("LEFTREFILL_FUSED_RES", "1") != "0"
             and self.quant
             and k1.dtype == jnp.int8
             and not self.up
@@ -859,7 +859,7 @@ class BasicTransformerBlock(nn.Module):
             dup_to_context = False
         # fused LN+rowwise-quant prenorms (one Pallas pass feeds both the
         # attention projections and the FF kernel their int8 activations)
-        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "0") != "0"
+        lnq = self.quant and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
         # with the int8 tree loaded every prenorm consumer reads the int8
         # side, so the kernels skip the bf16 x_norm HBM write entirely (the
         # int8 xq stands in for shape-probing arguments)
@@ -986,7 +986,7 @@ class SpatialTransformer(nn.Module):
             self.quant
             and self.use_linear
             and x.dtype == jnp.bfloat16
-            and os.environ.get("LEFTREFILL_FUSED_LNQ", "0") != "0"
+            and os.environ.get("LEFTREFILL_FUSED_LNQ", "1") != "0"
         ):
             from leftrefill_tpu.ops.quant import gn_quant_qualifies, gn_quant_rowwise
 

@@ -48,3 +48,17 @@ echo "rc=$? $(tail -2 /tmp/b4_split_r4b.log | head -1)"
 guard; run_bench dpm15_b4     BENCH_BATCH=4
 snap
 echo "$(date -u +%H:%M:%S) R4B CHAIN DONE"
+
+# --- appended mid-run (lazy tail read): multiview on the 15-step fast path ---
+guard
+echo "$(date -u +%H:%M:%S) mv_dpm15 (int8 + 15-step dpm++2m multiview e2e)"
+MV_QUANT=1 MV_SAMPLER=dpm++2m MV_STEPS=15 python scripts/tpu_multiview_e2e.py > /tmp/mv_dpm15_r4b.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_dpm15_r4b.log | head -1)"
+snap
+echo "$(date -u +%H:%M:%S) R4B TAIL DONE"
+
+# combo on the headline graph: flip FUSED_RES+FUSED_LNQ defaults only if this
+# is green and >= the 2.03 epoch (combo won +1.48% on ddim50: 0.7259)
+guard; run_bench dpm15_combo LEFTREFILL_FUSED_RES=1 LEFTREFILL_FUSED_LNQ=1
+snap
+echo "$(date -u +%H:%M:%S) R4B TAIL2 DONE"
