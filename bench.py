@@ -8,7 +8,7 @@ protocol per the measured solver-truncation bound (right-half PSNR vs a
 DDIM-200 gold ODE trajectory, scripts/cpu_dpm20_quality.py: dpm15 64.9 dB
 vs ddim50 63.0 dB), so the headline number is not a quality trade.  The
 reference protocol is still reachable: BENCH_SAMPLER=ddim BENCH_STEPS=50
-(r4 epoch: 0.7153 canvases/s int8, 0.4683 bf16).
+(r4 epoch: 0.7259 canvases/s int8 at shipped defaults, 0.4683 bf16).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to the BASELINE.json north-star target of 2.0
