@@ -75,17 +75,8 @@ class Conv3x3(nn.Module):
         )
 
 
-def _mom_tuple(m):
-    """[B, 4, C] epilogue stats -> a (s1, s2, mn, mx) tuple (None passthrough)."""
-    return None if m is None else tuple(m[:, i] for i in range(m.shape[1]))
-
-
-def conv3x3_forward(
-    x, kernel, bias, scale, dtype, quant, strides: int = 1, res=None
-) -> jax.Array:
-    """Conv3x3's dispatch as a function (shared with the fused ResBlock).
-    ``res`` [B,H,W,CO]: residual added to the output — fused into the Pallas
-    epilogue where a res-resident plan fits, a plain XLA add otherwise."""
+def conv3x3_forward(x, kernel, bias, scale, dtype, quant, strides: int = 1) -> jax.Array:
+    """Conv3x3's dispatch as a function (shared with the fused ResBlock)."""
     from leftrefill_tpu.ops.conv import conv3x3_apply
 
     ci = x.shape[-1]
@@ -101,15 +92,13 @@ def conv3x3_forward(
         b, h, w, _ = x.shape
         if strides == 1 and conv3x3_int8_qualifies(h, w, ci, features):
             return conv3x3_int8(
-                x.astype(dtype), kernel, scale, bias.astype(dtype), out_dtype=dtype,
-                res=res,
+                x.astype(dtype), kernel, scale, bias.astype(dtype), out_dtype=dtype
             )
         if int8_xla_conv_enabled():
-            out = conv_int8_xla(
+            return conv_int8_xla(
                 x.astype(dtype), kernel, scale, bias,
                 strides=(strides, strides), out_dtype=dtype,
             )
-            return out if res is None else out + res.astype(out.dtype)
         # dequantize: exact inverse of the per-channel quantization
         kernel = kernel.astype(jnp.float32) * scale[None, None, None, :]
     x = x.astype(dtype)
@@ -118,9 +107,8 @@ def conv3x3_forward(
             x, kernel.astype(dtype), window_strides=(strides, strides),
             padding=PAD1, dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = y + bias.astype(dtype)
-        return y if res is None else y + res.astype(y.dtype)
-    return conv3x3_apply(x, kernel.astype(dtype), bias.astype(dtype), res=res)
+        return y + bias.astype(dtype)
+    return conv3x3_apply(x, kernel.astype(dtype), bias.astype(dtype))
 
 
 class QDense(nn.Module):
@@ -202,13 +190,8 @@ class QConv1x1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, x2: Optional[jax.Array] = None) -> jax.Array:
-        """``x2``: optional second channel-concat part — the layer then
-        computes conv1x1([x ‖ x2]) as two split-kernel GEMMs without ever
-        materializing the concat (decoder skip cats; param layout
-        unchanged)."""
-        c1 = x.shape[-1]
-        ci = c1 + (x2.shape[-1] if x2 is not None else 0)
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
@@ -222,15 +205,10 @@ class QConv1x1(nn.Module):
         if kernel.dtype == jnp.int8:
             from leftrefill_tpu.ops.quant import dense_int8, quantize_activation_rowwise
 
-            xq, xs = quantize_activation_rowwise(x.reshape(-1, c1))
-            y = dense_int8(xq, xs, k2d[:c1], scale, bias, out_dtype=self.dtype)
-            if x2 is not None:
-                xq2, xs2 = quantize_activation_rowwise(x2.reshape(-1, ci - c1))
-                y = y + dense_int8(xq2, xs2, k2d[c1:], scale, None, out_dtype=self.dtype)
+            xq, xs = quantize_activation_rowwise(x.reshape(-1, ci))
+            y = dense_int8(xq, xs, k2d, scale, bias, out_dtype=self.dtype)
             return y.reshape(*shp[:-1], self.features)
-        y = x.astype(self.dtype).reshape(-1, c1) @ k2d[:c1].astype(self.dtype)
-        if x2 is not None:
-            y = y + x2.astype(self.dtype).reshape(-1, ci - c1) @ k2d[c1:].astype(self.dtype)
+        y = x.astype(self.dtype).reshape(-1, ci) @ k2d.astype(self.dtype)
         y = y + bias.astype(self.dtype)
         return y.reshape(*shp[:-1], self.features)
 
@@ -381,31 +359,10 @@ class ResBlock(nn.Module):
     quant: bool = False  # W8A8 int8 on the two 3x3 convs (ops/quant.py)
 
     @nn.compact
-    def __call__(
-        self,
-        x,
-        emb: jax.Array,
-        emit_moments: bool = False,
-        in_moments: Optional[tuple] = None,
-    ):
-        """``emit_moments``: also return the per-channel (Σ, Σ², min, max) of
-        the block output when the fused int8 path produced them in the conv2
-        epilogue — (out, stats) or (out, None).  The following
-        SpatialTransformer's GroupNorm consumes them (skips a full read).
-        ``in_moments``: the same stats for THIS block's input x (from the
-        preceding SpatialTransformer's proj_out epilogue) — conv1's GN then
-        skips its moments and abs-max reads."""
+    def __call__(self, x, emb: jax.Array):
         from leftrefill_tpu.ops.layers import adjust_groups, group_norm32
 
-        # x may be a 2-tuple (h, skip): the decoder's channel concat
-        # (openaimodel.py:760) passed unmaterialized — the fused int8 path
-        # consumes the parts via split-kernel convs (gn_silu_conv3x3_int8_cat2)
-        parts = x if isinstance(x, tuple) else None
-        if parts is not None:
-            in_ch = parts[0].shape[-1] + parts[1].shape[-1]
-            x = parts[0]  # shape/ndim probe; materialized only if needed
-        else:
-            in_ch = x.shape[-1]
+        in_ch = x.shape[-1]
         g1s, g1b = _GNParams(name="in_layers_0")(in_ch)
         k1, c1b, s1 = _Conv3x3Params(
             features=self.out_channels, in_features=in_ch, quant=self.quant,
@@ -434,7 +391,6 @@ class ResBlock(nn.Module):
         ):
             from leftrefill_tpu.ops.quant import (
                 gn_silu_conv3x3_int8,
-                gn_silu_conv3x3_int8_cat2,
                 gn_silu_conv3x3_int8_qualifies,
             )
 
@@ -447,72 +403,24 @@ class ResBlock(nn.Module):
                 hh, ww, self.out_channels, self.out_channels, g2
             ):
                 fused = True
-                # conv1's epilogue emits the per-channel (Σh, Σh²) so the
-                # second GN skips its own full-tensor moments read
-                emit = os.environ.get("LEFTREFILL_CONV_MOMENTS", "0") != "0"
-                mom = None
-                if parts is not None:
-                    h = gn_silu_conv3x3_int8_cat2(
-                        parts[0].astype(self.dtype), parts[1].astype(self.dtype),
-                        g1s, g1b, k1, s1, c1b, num_groups=g1,
-                        out_dtype=self.dtype, emit_moments=emit,
-                        moments=in_moments,
-                    )
-                else:
-                    h = gn_silu_conv3x3_int8(
-                        x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
-                        num_groups=g1, out_dtype=self.dtype, emit_moments=emit,
-                        moments=in_moments,
-                    )
-                if emit:
-                    h, mom = h
-                    mom = _mom_tuple(mom)
-                # residual add fused into the out-conv epilogue (saves one
-                # HBM round-trip of h per block, openaimodel.py:273)
-                if os.environ.get("LEFTREFILL_FUSED_RESADD", "0") != "0":
-                    if self.out_channels == in_ch:
-                        skip = (
-                            jnp.concatenate(parts, axis=-1) if parts is not None else x
-                        ).astype(self.dtype)
-                    elif parts is not None:
-                        # split-kernel 1x1 over the unmaterialized concat
-                        skip = conv1x1(
-                            self.out_channels, dtype=self.dtype,
-                            name="skip_connection", quant=self.quant,
-                        )(parts[0], parts[1])
-                    else:
-                        skip = conv1x1(
-                            self.out_channels, dtype=self.dtype,
-                            name="skip_connection", quant=self.quant,
-                        )(x)
-                else:
-                    skip = None
-                # emit the BLOCK OUTPUT's moments (conv2 epilogue sees the
-                # fused skip add) for the following SpatialTransformer's GN
-                emit2 = emit_moments and skip is not None
+                h = gn_silu_conv3x3_int8(
+                    x.astype(self.dtype), g1s, g1b, k1, s1, c1b,
+                    num_groups=g1, out_dtype=self.dtype,
+                )
+                # the skip add stays a plain XLA add: the fused-residual
+                # epilogue (LEFTREFILL_FUSED_RESADD) measured -1.3% e2e on
+                # the r4 six-flag bisect and was removed in r5
                 if self.use_scale_shift_norm:
                     scale, shift = jnp.split(emb_out, 2, axis=-1)
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
                         scale_shift=(scale, shift), out_dtype=self.dtype,
-                        res=skip, moments=mom, emit_moments=emit2,
                     )
                 else:
                     h = gn_silu_conv3x3_int8(
                         h, g2s, g2b, k2, s2, c2b, num_groups=g2,
-                        emb=emb_out, out_dtype=self.dtype, res=skip, moments=mom,
-                        emit_moments=emit2,
+                        emb=emb_out, out_dtype=self.dtype,
                     )
-                if skip is not None:
-                    if emit_moments:
-                        h, mom2 = h if emit2 else (h, None)
-                        return h, _mom_tuple(mom2)
-                    return h
-
-        if parts is not None:
-            # remaining paths (unfused, or fused with RESADD=0) consume the
-            # materialized concat
-            x = jnp.concatenate(parts, axis=-1)
 
         if not fused:
             h = group_norm32(x, g1s, g1b, num_groups=32, eps=1e-5)
@@ -533,24 +441,8 @@ class ResBlock(nn.Module):
                 h = h + eo[:, None, None, :]
                 h = group_norm32(h, g2s, g2b, num_groups=32, eps=1e-5)
             h = nn.silu(h)
-            if self.out_channels == in_ch:
-                skip = x
-            else:
-                skip = conv1x1(
-                    self.out_channels, dtype=self.dtype, name="skip_connection",
-                    quant=self.quant,
-                )(x)
-            if os.environ.get("LEFTREFILL_FUSED_RESADD", "0") != "0" and x.ndim == 4:
-                # residual fused into the out-conv epilogue where a plan fits
-                out = conv3x3_forward(
-                    h, k2, c2b, s2, self.dtype, self.quant, res=skip
-                )
-                return (out, None) if emit_moments else out
             h = conv3x3_forward(h, k2, c2b, s2, self.dtype, self.quant)
-            out = skip.astype(h.dtype) + h
-            return (out, None) if emit_moments else out
 
-        # fused prologue path without the fused residual (RESADD=0)
         if self.out_channels == in_ch:
             skip = x
         else:
@@ -558,8 +450,7 @@ class ResBlock(nn.Module):
                 self.out_channels, dtype=self.dtype, name="skip_connection",
                 quant=self.quant,
             )(x)
-        out = skip.astype(h.dtype) + h
-        return (out, None) if emit_moments else out
+        return skip.astype(h.dtype) + h
 
 
 class _DenseParams(nn.Module):
@@ -610,8 +501,9 @@ class GEGLUFeedForward(nn.Module):
         res: Optional[jax.Array] = None,
         pre_quant: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
-        """``res``: residual tensor (the transformer block's ``+ x``) — fused
-        into the int8 kernel epilogue when available, added here otherwise.
+        """``res``: residual tensor (the transformer block's ``+ x``), added
+        after the kernel (a fused-residual epilogue measured -1.0% e2e on the
+        r4 bisect and was removed in r5).
         ``pre_quant``: (xq, scales) of x from the fused LN+quant prenorm."""
         from leftrefill_tpu.ops.mlp import (
             geglu_fused,
@@ -637,11 +529,6 @@ class GEGLUFeedForward(nn.Module):
             r, din, inner, self.dim, int8
         ):
             if int8:
-                # A/B gate for the fused-residual epilogue (scripts/tpu_r3_resadd_ab.py)
-                fuse_res = (
-                    res is not None
-                    and os.environ.get("LEFTREFILL_FUSED_FFRES", "0") != "0"
-                )
                 pq = None
                 if pre_quant is not None and pre_quant[0] is not None:
                     pq = (
@@ -651,21 +538,10 @@ class GEGLUFeedForward(nn.Module):
                 out = geglu_fused_int8(
                     x2.astype(self.dtype), k1, s1, b1, k2, s2, b2,
                     out_dtype=self.dtype,
-                    res=res.reshape(r, self.dim) if fuse_res else None,
                     pre_quant=pq,
                 )
                 out = out.reshape(*x.shape[:-1], self.dim)
-                if res is not None and not fuse_res:
-                    out = out + res.astype(out.dtype)
-                return out
-            if res is not None and os.environ.get("LEFTREFILL_FUSED_FFRES", "0") != "0":
-                from leftrefill_tpu.ops.mlp import geglu_fused_res
-
-                out = geglu_fused_res(
-                    x2.astype(self.dtype), k1, b1, k2, b2,
-                    res.reshape(r, self.dim).astype(self.dtype),
-                )
-                return out.reshape(*x.shape[:-1], self.dim)
+                return out if res is None else out + res.astype(out.dtype)
             out = geglu_fused(x2.astype(self.dtype), k1, b1, k2, b2)
             out = out.reshape(*x.shape[:-1], self.dim)
             return out if res is None else out + res.astype(out.dtype)
@@ -967,14 +843,8 @@ class SpatialTransformer(nn.Module):
         context: Optional[jax.Array] = None,
         cross_kv: Optional[list] = None,
         dup_to_context: bool = False,
-        in_moments: Optional[tuple] = None,
-        emit_moments: bool = False,
         **kwargs,
     ):
-        """``in_moments``: (Σx, Σx²[, min, max]) [B,C] of x from the preceding
-        ResBlock's conv epilogue — the GN prologue then skips its own moments
-        read.  ``emit_moments``: return (out, stats-or-None) with the output's
-        per-channel (Σ, Σ², min, max) from the fused proj_out epilogue."""
         b, h, w, c = x.shape
         context = self._slice_context(context)
         x_in = x
@@ -997,8 +867,7 @@ class SpatialTransformer(nn.Module):
                 except Exception:
                     i8 = False
                 xn, xq, sc = gn_quant_rowwise(
-                    x, gs, gb, num_groups=32, eps=1e-6, norm_out=not i8,
-                    moments=in_moments,
+                    x, gs, gb, num_groups=32, eps=1e-6, norm_out=not i8
                 )
                 x = self.proj_in(
                     (xn if xn is not None else xq).reshape(b, h * w, c),
@@ -1026,8 +895,7 @@ class SpatialTransformer(nn.Module):
             x = self.proj_out(x)
             if x.shape[0] != x_in.shape[0]:  # prefix ran at half batch (cfg_dup)
                 x_in = jnp.concatenate([x_in, x_in], axis=0)
-            out = x + x_in
-            return (out, None) if emit_moments else out
+            return x + x_in
 
         # linear proj_out: kernel/bias from the param holder
         pk, pb, psc = self.proj_out_params()
@@ -1047,18 +915,17 @@ class SpatialTransformer(nn.Module):
             if x.dtype == jnp.bfloat16 and dense_int8_res_mom_qualifies(
                 b2, hw, inner2, c
             ):
-                # fused GEMM + residual + output channel-stats: the following
-                # ResBlock's GroupNorm consumes the stats (skips two reads)
-                out3, mom = dense_int8_res_mom(xq, sxr, pk, psc, pb, res3)
-                out = out3.reshape(b2, h, w, c)
-                if emit_moments:
-                    return out, _mom_tuple(mom)
-                return out
+                # fused GEMM + residual (the kernel also emits per-channel
+                # output stats — retained as-is: it is the measured headline
+                # kernel and the [B,4,C] stats output is free; the former
+                # downstream stats CONSUMER chain, LEFTREFILL_CONV_MOMENTS,
+                # measured -0.13% e2e and was removed in r5)
+                out3, _mom = dense_int8_res_mom(xq, sxr, pk, psc, pb, res3)
+                return out3.reshape(b2, h, w, c)
             x = dense_int8(xq, sxr, pk, psc, pb, out_dtype=self.dtype)
         else:
             x = x.astype(self.dtype) @ pk.astype(self.dtype) + pb.astype(self.dtype)
-        out = (x + res3.astype(x.dtype)).reshape(b2, h, w, c)
-        return (out, None) if emit_moments else out
+        return (x + res3.astype(x.dtype)).reshape(b2, h, w, c)
 
 
 class UNetModel(nn.Module):
@@ -1237,7 +1104,7 @@ class UNetModel(nn.Module):
         self.out_2 = conv3x3(self.out_channels, zero=True, dtype=self.dtype, name="out_2")
 
     def _apply_seq(self, layers, h, emb, context, cross_kv=None, dup_state=None,
-                   in_mom=None, want_out_mom=False, **kwargs):
+                   **kwargs):
         """TimestepEmbedSequential dispatch (openaimodel.py:73-87), made
         explicit with the kind tags attached in setup.
 
@@ -1245,50 +1112,21 @@ class UNetModel(nn.Module):
         while on, h carries HALF the batch (the two CFG halves are identical
         until the first cross-attention consumes the context; see cfg_dup)."""
         dup_on = dup_state is not None and dup_state["on"]
-        # moment chaining (int8 path): ResBlocks and SpatialTransformers hand
-        # their output's per-channel (Σ, Σ², min, max) — produced in their
-        # Pallas epilogues — to the next norm consumer, which then skips its
-        # full-tensor statistics/abs-max reads.  ``in_mom`` carries the stats
-        # of the incoming h across block-entry boundaries (the UNet loop);
-        # ``want_out_mom`` asks for the stats of the returned h.
-        chain = self.quant and os.environ.get("LEFTREFILL_CONV_MOMENTS", "0") != "0"
-        mom = in_mom if chain else None
-        for i, (kind, layer) in enumerate(layers):
-            nxt = layers[i + 1][0] if i + 1 < len(layers) else None
-            last = i + 1 == len(layers)
+        for kind, layer in layers:
             if kind == "res":
-                bsz = (h[0] if isinstance(h, tuple) else h).shape[0]
-                e = emb[:bsz] if dup_on else emb
-                emit = chain and (nxt == "st" or (last and want_out_mom))
-                use_in = mom if not dup_on else None
-                if emit:
-                    h, mom = layer(h, e, emit_moments=True, in_moments=use_in)
-                else:
-                    h, mom = layer(h, e, in_moments=use_in), None
+                e = emb[: h.shape[0]] if dup_on else emb
+                h = layer(h, e)
             elif kind == "st":
                 kv = cross_kv.get(layer.name) if cross_kv is not None else None
                 extra = {"dup_to_context": True} if dup_on else {}
-                if mom is not None and not dup_on:
-                    extra["in_moments"] = mom
-                emit = chain and (nxt == "res" or (last and want_out_mom))
-                # Only pass boolean flags when set: jax.checkpoint traces every
-                # kwarg, so a Python False through nn.remat becomes a bool[]
-                # tracer that breaks `if emit_moments` (remat never coexists
-                # with quant, so set flags never reach a remat-wrapped layer).
-                if emit:
-                    extra["emit_moments"] = True
                 h = layer(h, context, cross_kv=kv, **extra, **kwargs)
-                mom = None
-                if emit:
-                    h, mom = h
                 if dup_on:
                     dup_state["on"] = dup_on = False
             elif kind in ("conv", "resample"):
                 h = layer(h)
-                mom = None
             else:
                 raise ValueError(f"unknown layer kind {kind!r}")
-        return (h, mom) if want_out_mom else h
+        return h
 
     def _iter_sts(self):
         for layers in [*self.input_blocks, self.middle_block, *self.output_blocks]:
@@ -1334,46 +1172,24 @@ class UNetModel(nn.Module):
             h = h[: h.shape[0] // 2]
             dup_state = {"on": True}
         hs = []
-        mom = None  # per-channel stats of h across entry boundaries
         for layers in self.input_blocks:
-            h, mom = self._apply_seq(
+            h = self._apply_seq(
                 layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state,
-                in_mom=mom, want_out_mom=True, **kwargs
+                **kwargs
             )
-            hs.append((h, mom))
-        h, mom = self._apply_seq(
+            hs.append(h)
+        h = self._apply_seq(
             self.middle_block, h, emb, context, cross_kv=cross_kv,
-            dup_state=dup_state, in_mom=mom, want_out_mom=True, **kwargs
+            dup_state=dup_state, **kwargs
         )
         for layers in self.output_blocks:
-            skip, skip_mom = hs.pop()
+            skip = hs.pop()
             if skip.shape[0] != h.shape[0]:  # skip stored before the dup point
                 skip = jnp.concatenate([skip, skip], axis=0)
-                if skip_mom is not None:
-                    skip_mom = tuple(
-                        jnp.concatenate([s, s], axis=0) for s in skip_mom
-                    )
-            # concat stats combine exactly by channel-concat of part stats
-            if mom is not None and skip_mom is not None and len(mom) == len(skip_mom):
-                cat_mom = tuple(
-                    jnp.concatenate([a_, b_], axis=-1)
-                    for a_, b_ in zip(mom, skip_mom)
-                )
-            else:
-                cat_mom = None
-            if (
-                self.quant
-                and layers[0][0] == "res"
-                and os.environ.get("LEFTREFILL_SPLIT_CAT", "0") != "0"
-            ):
-                # unmaterialized channel concat: the leading ResBlock consumes
-                # the parts via split-kernel convs (openaimodel.py:760)
-                h = (h, skip)
-            else:
-                h = jnp.concatenate([h, skip], axis=-1)
-            h, mom = self._apply_seq(
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = self._apply_seq(
                 layers, h, emb, context, cross_kv=cross_kv, dup_state=dup_state,
-                in_mom=cat_mom, want_out_mom=True, **kwargs
+                **kwargs
             )
         if dup_state is not None and dup_state["on"]:  # no ST consumed it
             h = jnp.concatenate([h, h], axis=0)

@@ -178,12 +178,8 @@ def _resolve_tap_mode(h: int, w: int) -> str:
     return "concat" if h * w <= 256 else "sum9"
 
 
-def _conv_kernel(*refs, tap_mode, has_res: bool = False):
-    if has_res:
-        x0_ref, x1_ref, x2_ref, w_ref, b_ref, res_ref, o_ref, acc_ref = refs
-    else:
-        x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref = refs
-        res_ref = None
+def _conv_kernel(*refs, tap_mode):
+    x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref = refs
     ci = pl.program_id(3)
 
     @pl.when(ci == 0)
@@ -223,24 +219,17 @@ def _conv_kernel(*refs, tap_mode, has_res: bool = False):
     def _write():
         r = acc_ref[...] + b_ref[0].astype(jnp.float32)[None, :]
         r = r.reshape(h, blk_w, o_ref.shape[3])
-        if res_ref is not None:
-            r = r + res_ref[0].astype(jnp.float32)
         o_ref[0] = r.astype(o_ref.dtype)
 
 
-def _plan(
-    h: int, w: int, ci: int, co: int, res: bool = False
-) -> Optional[tuple[tuple[int, int, int], int]]:
-    kw = _BF16_PLAN_KW if not res else {**_BF16_PLAN_KW, "o_elt": 4}
-    return plan_conv_blocks(h, w, ci, co, **kw)
+def _plan(h: int, w: int, ci: int, co: int) -> Optional[tuple[tuple[int, int, int], int]]:
+    return plan_conv_blocks(h, w, ci, co, **_BF16_PLAN_KW)
 
 
-def _conv3x3_pallas(
-    x: jax.Array, w: jax.Array, bias: jax.Array, res: Optional[jax.Array] = None
-) -> jax.Array:
+def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
     b, h, wd, ci = x.shape
     co = w.shape[-1]
-    plan = _plan(h, wd, ci, co, res=res is not None)
+    plan = _plan(h, wd, ci, co)
     assert plan is not None, "caller must check conv3x3_qualifies"
     (blk_w, blk_ci, blk_co), ci_eff = plan
 
@@ -283,13 +272,8 @@ def _conv3x3_pallas(
         ),
     ]
     operands = [x0, x1, x2, w, bias2]
-    if res is not None:
-        in_specs.append(o_spec)
-        operands.append(res)
     out = pl.pallas_call(
-        functools.partial(
-            _conv_kernel, tap_mode=_resolve_tap_mode(h, wd), has_res=res is not None
-        ),
+        functools.partial(_conv_kernel, tap_mode=_resolve_tap_mode(h, wd)),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co), x.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -334,24 +318,9 @@ def _bwd(res, g):
 conv3x3_op.defvjp(_fwd, _bwd)
 
 
-@jax.custom_vjp
-def conv3x3_res_op(x: jax.Array, w: jax.Array, bias: jax.Array, res: jax.Array):
-    """conv3x3_op with the ResBlock residual (+ res) fused into the kernel
-    epilogue (openaimodel.py:273); d(res) = upstream cotangent."""
-    return _conv3x3_pallas(x, w, bias, res=res)
-
-
-def _res_fwd(x, w, bias, res):
-    return _conv3x3_pallas(x, w, bias, res=res), (x, w, bias)
-
-
-def _res_bwd(saved, g):
-    x, w, bias = saved
-    _, vjp = jax.vjp(_xla_conv, x, w, bias)
-    return (*vjp(g), g)
-
-
-conv3x3_res_op.defvjp(_res_fwd, _res_bwd)
+# A fused-residual epilogue variant (conv3x3_res_op, LEFTREFILL_FUSED_RESADD)
+# was built and measured end-to-end NEGATIVE (-1.3%) on the r4 six-flag
+# bisect (bench_logs_r4) — removed in r5; ResBlock adds its skip in XLA.
 
 
 def conv3x3_qualifies(h: int, w: int, ci: int, co: int) -> bool:
@@ -369,12 +338,9 @@ def conv3x3_apply(
     w: jax.Array,
     bias: jax.Array,
     impl: ConvImpl | None = None,
-    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatcher: Pallas kernel on TPU when the shape qualifies, else the
-    XLA conv (CPU tests, odd shapes, tiny channels).  ``res`` [B,H,W,CO] is a
-    residual added to the conv output — fused into the Pallas epilogue when
-    the res-resident plan fits, a plain XLA add otherwise."""
+    XLA conv (CPU tests, odd shapes, tiny channels)."""
     use = impl or _DEFAULT_IMPL
     b, h, wd, ci = x.shape
     co = w.shape[-1]
@@ -385,9 +351,5 @@ def conv3x3_apply(
     if use in ("auto", "pallas") and conv3x3_qualifies(h, wd, ci, co):
         # "pallas" also only *prefers* the kernel: shapes with no aligned
         # block plan (e.g. the 9-channel stem) always take the XLA conv
-        if res is not None and _plan(h, wd, ci, co, res=True) is not None:
-            return conv3x3_res_op(x, w, bias, res.astype(x.dtype))
-        out = conv3x3_op(x, w, bias)
-    else:
-        out = _xla_conv(x, w, bias)
-    return out if res is None else out + res.astype(out.dtype)
+        return conv3x3_op(x, w, bias)
+    return _xla_conv(x, w, bias)

@@ -44,10 +44,8 @@ def set_geglu_fused(on: bool) -> None:
     _GEGLU_FUSED = bool(on)
 
 
-def _plan(r: int, din: int, inner: int, dout: int, x_elt: int, w_elt: int,
-          res: bool = False):
-    """(blk_r, ci) under the VMEM budget, or None.  ``res``: account for the
-    fused-residual input block (same footprint as the output)."""
+def _plan(r: int, din: int, inner: int, dout: int, x_elt: int, w_elt: int):
+    """(blk_r, ci) under the VMEM budget, or None."""
     best = None
     for blk_r in (512, 256, 128):
         if r % blk_r:
@@ -59,7 +57,7 @@ def _plan(r: int, din: int, inner: int, dout: int, x_elt: int, w_elt: int,
             w1_b = 2 * din * ci * w_elt * 2
             w2_b = ci * dout * w_elt * 2
             acc_b = blk_r * dout * 4
-            o_b = blk_r * dout * 2 * 2 * (2 if res else 1)
+            o_b = blk_r * dout * 2 * 2
             inter_b = 3 * blk_r * ci * 4
             if x_b + w1_b + w2_b + acc_b + o_b + inter_b <= _BUDGET:
                 cand = (blk_r, ci)
@@ -85,14 +83,9 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 
-def _geglu_kernel(*refs, has_res: bool = False):
-    if has_res:
-        (x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref, res_ref,
-         o_ref, acc_ref) = refs
-    else:
-        (x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
-         o_ref, acc_ref) = refs
-        res_ref = None
+def _geglu_kernel(*refs):
+    (x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
+     o_ref, acc_ref) = refs
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -118,8 +111,6 @@ def _geglu_kernel(*refs, has_res: bool = False):
     @pl.when(c == pl.num_programs(1) - 1)
     def _write():
         r = acc_ref[...] + b2_ref[0]
-        if res_ref is not None:
-            r = r + res_ref[...].astype(jnp.float32)
         o_ref[...] = r.astype(o_ref.dtype)
 
 
@@ -130,13 +121,10 @@ def _geglu_pallas(
     w2: jax.Array,  # [inner, dout]
     b2: jax.Array,  # [dout]
     out_dtype,
-    res: Optional[jax.Array] = None,  # [R, dout]: fused residual add
 ) -> jax.Array:
     r, din = x.shape
     inner, dout = w2.shape
-    plan = _plan(r, din, inner, dout, x_elt=2, w_elt=2, res=res is not None)
-    if plan is None and res is not None:
-        return _geglu_pallas(x, w1, b1, w2, b2, out_dtype) + res.astype(out_dtype)
+    plan = _plan(r, din, inner, dout, x_elt=2, w_elt=2)
     assert plan is not None, "caller must check geglu_fused_qualifies"
     blk_r, ci = plan
     nc = inner // ci
@@ -158,11 +146,8 @@ def _geglu_pallas(
         pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [x, w1, w1, b1f, b1f, w2, b2f]
-    if res is not None:
-        in_specs.append(o_spec)
-        operands.append(res)
     return pl.pallas_call(
-        functools.partial(_geglu_kernel, has_res=res is not None),
+        _geglu_kernel,
         out_shape=jax.ShapeDtypeStruct((r, dout), out_dtype),
         grid=(r // blk_r, nc),
         in_specs=in_specs,
@@ -208,37 +193,18 @@ def _geglu_bwd(res, g):
 geglu_fused.defvjp(_geglu_fwd, _geglu_bwd)
 
 
-@jax.custom_vjp
-def geglu_fused_res(x, w1, b1, w2, b2, res):
-    """geglu_fused with the transformer residual (+ res) fused into the kernel
-    epilogue; d(res) = upstream cotangent, so training differentiates through
-    it exactly like the unfused ``ff(x) + res``."""
-    return _geglu_pallas(x, w1, b1, w2, b2, out_dtype=x.dtype, res=res)
+# A fused-residual epilogue variant (geglu_fused_res / res= on the int8
+# kernel, env gates LEFTREFILL_FUSED_FFRES / LEFTREFILL_FUSED_RESADD) was
+# built and measured end-to-end NEGATIVE on the r4 six-flag bisect
+# (bench_logs_r4: ffres -1.0%, resadd -1.3% vs the 0.7153 ddim-50 epoch —
+# kernel-level wins eaten by worse XLA scheduling around the call).
+# Removed in r5; the residual is a plain XLA add at every call site.
 
 
-def _geglu_res_fwd(x, w1, b1, w2, b2, res):
-    return geglu_fused_res(x, w1, b1, w2, b2, res), (x, w1, b1, w2, b2, res)
-
-
-def _geglu_res_bwd(saved, g):
-    x, w1, b1, w2, b2, res = saved
-    _, vjp = jax.vjp(_geglu_xla_math, x, w1, b1, w2, b2)
-    return (*vjp(g.astype(x.dtype)), g.astype(res.dtype))
-
-
-geglu_fused_res.defvjp(_geglu_res_fwd, _geglu_res_bwd)
-
-
-def _geglu_int8_kernel(*refs, w2_bf16: bool, has_res: bool = False):
-    if has_res:
-        (x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
-         b1v_ref, b1g_ref, w2_ref, s2_ref, b2_ref, res_ref,
-         o_ref, acc_ref) = refs
-    else:
-        (x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
-         b1v_ref, b1g_ref, w2_ref, s2_ref, b2_ref,
-         o_ref, acc_ref) = refs
-        res_ref = None
+def _geglu_int8_kernel(*refs, w2_bf16: bool):
+    (x_ref, sx_ref, w1v_ref, s1v_ref, w1g_ref, s1g_ref,
+     b1v_ref, b1g_ref, w2_ref, s2_ref, b2_ref,
+     o_ref, acc_ref) = refs
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -285,8 +251,6 @@ def _geglu_int8_kernel(*refs, w2_bf16: bool, has_res: bool = False):
             r = acc_ref[...] * s2_ref[0] + b2_ref[0]
         else:
             r = acc_ref[...] + b2_ref[0]
-        if res_ref is not None:
-            r = r + res_ref[...].astype(jnp.float32)
         o_ref[...] = r.astype(o_ref.dtype)
 
 
@@ -299,20 +263,13 @@ def geglu_fused_int8(
     w2_scale: jax.Array, # [dout]
     b2: jax.Array,
     out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,  # [R, dout]: fused residual add
     pre_quant: Optional[tuple[jax.Array, jax.Array]] = None,  # (xq, sx [R,1])
 ) -> jax.Array:
     from leftrefill_tpu.ops.quant import quantize_activation_rowwise
 
     r, din = x.shape
     inner, dout = w2q.shape
-    plan = _plan(r, din, inner, dout, x_elt=1, w_elt=1, res=res is not None)
-    if plan is None and res is not None:
-        # no room for the residual block resident: unfused add
-        return geglu_fused_int8(
-            x, w1q, w1_scale, b1, w2q, w2_scale, b2, out_dtype,
-            pre_quant=pre_quant,
-        ) + res.astype(out_dtype)
+    plan = _plan(r, din, inner, dout, x_elt=1, w_elt=1)
     assert plan is not None, "caller must check geglu_fused_qualifies"
     blk_r, ci = plan
     nc = inner // ci
@@ -345,13 +302,8 @@ def geglu_fused_int8(
         pl.BlockSpec((1, dout), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [xq, sx, w1q, s1, w1q, s1, b1f, b1f, w2q, s2, b2f]
-    if res is not None:
-        in_specs.append(o_spec)
-        operands.append(res)
     return pl.pallas_call(
-        functools.partial(
-            _geglu_int8_kernel, w2_bf16=w2_bf16, has_res=res is not None
-        ),
+        functools.partial(_geglu_int8_kernel, w2_bf16=w2_bf16),
         out_shape=jax.ShapeDtypeStruct((r, dout), out_dtype),
         grid=(r // blk_r, nc),
         in_specs=in_specs,

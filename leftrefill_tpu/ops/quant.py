@@ -246,15 +246,12 @@ def _ceil128(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def _plan_int8_single(
-    h, w, ci, co, budget=int(11.5 * 1024 * 1024), res=False, moments=False
-):
+def _plan_int8_single(h, w, ci, co, budget=int(11.5 * 1024 * 1024)):
     """Block plan for the single-input kernel: (blk_ci, blk_co, ci_eff, co_eff)
     or None.  Channel counts may be zero-padded to a 128 multiple on EITHER
     side (the output is sliced back); MXU cost is unchanged by padding-to-128
     (a K/N dim of 320 occupies the same 3 tiles as 384), so the score just
-    minimizes total MXU tiles, then grid steps.  ``res``: account for the
-    fused-residual input block (same footprint as the output)."""
+    minimizes total MXU tiles, then grid steps."""
     from leftrefill_tpu.ops.conv import _chan_blocks
 
     best, best_score = None, None
@@ -266,12 +263,6 @@ def _plan_int8_single(
                     w_b = 9 * bci * bco * 2
                     acc_b = h * w * bco * 4
                     o_b = h * w * bco * 2 * 2  # bf16 out, dbl-buffered
-                    if res:
-                        o_b *= 2  # + bf16 residual input, same block shape
-                    if moments:
-                        # the moments epilogue keeps an f32 copy of the out
-                        # tile live while reducing it
-                        o_b += h * w * bco * 4
                     if x_b + w_b + acc_b + o_b > budget:
                         continue
                     tiles = ((ci_eff // bci) * (-(-bci // 128))) * (
@@ -283,15 +274,8 @@ def _plan_int8_single(
     return best
 
 
-def _conv_int8_single_kernel(*refs, has_res: bool = False, emit_moments: bool = False):
-    refs = list(refs)
-    xp_ref, w_ref, sc_ref, b_ref = refs[:4]
-    rest = refs[4:]
-    res_ref = rest.pop(0) if has_res else None
-    if emit_moments:
-        o_ref, mom_ref, acc_ref = rest
-    else:
-        (o_ref, acc_ref), mom_ref = rest, None
+def _conv_int8_single_kernel(*refs):
+    xp_ref, w_ref, sc_ref, b_ref, o_ref, acc_ref = refs
     ci = pl.program_id(2)
 
     @pl.when(ci == 0)
@@ -314,17 +298,7 @@ def _conv_int8_single_kernel(*refs, has_res: bool = False, emit_moments: bool = 
     def _write():
         r = acc_ref[...].astype(jnp.float32) * sc_ref[0] + b_ref[0].astype(jnp.float32)
         r = r.reshape(h, wd, o_ref.shape[3])
-        if res_ref is not None:
-            r = r + res_ref[0].astype(jnp.float32)
-        rb = r.astype(o_ref.dtype)
-        o_ref[0] = rb
-        if mom_ref is not None:
-            rf = rb.astype(jnp.float32)
-            s1 = jnp.sum(rf, axis=(0, 1))[None, :]
-            s2 = jnp.sum(rf * rf, axis=(0, 1))[None, :]
-            mn = jnp.min(rf, axis=(0, 1))[None, :]
-            mx = jnp.max(rf, axis=(0, 1))[None, :]
-            mom_ref[0] = jnp.concatenate([s1, s2, mn, mx], axis=0)  # [4, bco]
+        o_ref[0] = r.astype(o_ref.dtype)
 
 
 def conv3x3_int8_single(
@@ -333,12 +307,11 @@ def conv3x3_int8_single(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-input variant of conv3x3_int8 (see module comment).  Caller must
     check the plan exists."""
     xq, sx = quantize_activation(x)
-    return conv3x3_int8_single_pre(xq, sx, wq, w_scale, bias, out_dtype, res=res)
+    return conv3x3_int8_single_pre(xq, sx, wq, w_scale, bias, out_dtype)
 
 
 def conv3x3_int8_single_pre(
@@ -348,17 +321,12 @@ def conv3x3_int8_single_pre(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,
-    emit_moments: bool = False,
 ):
-    """single-input kernel on a PRE-quantized activation.  ``res`` [B,H,W,CO]
-    fuses a residual add into the epilogue (out = conv + res), skipping one
-    HBM write+read of the conv result per ResBlock (openaimodel.py:273).
-    ``emit_moments``: also return [B, 2, CO] per-channel (Σout, Σout²)."""
+    """single-input kernel on a PRE-quantized activation."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
-    plan = _plan_int8_single(h, wd, ci, co, res=res is not None, moments=emit_moments)
-    assert plan is not None, "caller must check the moments-aware plan"
+    plan = _plan_int8_single(h, wd, ci, co)
+    assert plan is not None, "caller must check the plan"
     bci, bco, ci_eff, co_eff = plan
 
     xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, ci_eff - ci)))
@@ -387,32 +355,13 @@ def conv3x3_int8_single_pre(
         pl.BlockSpec((1, bco), lambda bi, coj, cij: (0, coj), memory_space=pltpu.VMEM),
     ]
     operands = [xp, wq, scales, bias2]
-    if res is not None:
-        if co_eff != co:
-            res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, co_eff - co)))
-        in_specs.append(o_spec)
-        operands.append(res)
 
-    out_shape = jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype)
-    out_specs = o_spec
-    if emit_moments:
-        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 4, co_eff), jnp.float32)]
-        out_specs = [
-            o_spec,
-            pl.BlockSpec(
-                (1, 4, bco), lambda bi, coj, cij: (bi, 0, coj),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
     out = pl.pallas_call(
-        functools.partial(
-            _conv_int8_single_kernel, has_res=res is not None,
-            emit_moments=emit_moments,
-        ),
-        out_shape=out_shape,
+        _conv_int8_single_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, co_eff), out_dtype),
         grid=(b, co_eff // bco, ci_eff // bci),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((h * wd, bco), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci_eff * co_eff,
@@ -420,56 +369,26 @@ def conv3x3_int8_single_pre(
             transcendentals=0,
         ),
     )(*operands)
-    if emit_moments:
-        out, mom = out
-        if co_eff != co:
-            out, mom = out[..., :co], mom[..., :co]
-        return out, mom
     return out[..., :co] if co_eff != co else out
 
 
-def _plan_int8(h, w, ci, co, res=False, moments=False):
+def _plan_int8(h, w, ci, co):
     from leftrefill_tpu.ops.conv import plan_conv_blocks
 
-    # o_elt models the per-output-block VMEM residents: bf16 out (2) + the
-    # fused-residual bf16 input block (+2) + the moments epilogue's f32 copy
-    # of the out tile (+2: the planner doubles o_bytes for double buffering,
-    # so +2 elt == one single-buffered f32 tile).  Without the moments term
-    # the L0 384->320 copy3 plan compiled to 16.23M scoped vmem vs the 16M
-    # limit on v5e (first full-UNet int8 compile after the stats chaining).
-    o_elt = 2 + (2 if res else 0) + (2 if moments else 0)
-    kw = {**_INT8_PLAN_KW, "o_elt": o_elt}
-    return plan_conv_blocks(h, w, ci, co, **kw)
+    return plan_conv_blocks(h, w, ci, co, **{**_INT8_PLAN_KW, "o_elt": 2})
 
 
-# tap accumulation strategy for the int8 copy3 kernel, mirroring the bf16
-# kernel's (ops/conv.py): "sum9" = 9 K=blk_ci dots; "dy3" = 3 dots with the
-# dy taps concatenated along K (K=3*blk_ci).  Deeper K matters more at int8
-# (the 2x MXU rate needs deep contractions to amortize tile setup) at the
-# price of an in-VMEM im2col concat per step.  A full "concat" mode (one
-# K=9*blk_ci dot) was removed: its 9x im2col buffer blew scoped VMEM by
-# 2.25M at L0 320ch (bench_logs_r4/bench_taps_concat_r4.log) and a 9x
-# smaller block plan would forfeit the MXU depth it was meant to buy.
-_INT8_TAP_MODE = os.environ.get("LEFTREFILL_INT8_CONV_TAPS", "sum9")
+# Tap accumulation: 9 K=blk_ci dots ("sum9").  Two deeper-K variants were
+# built and measured NEGATIVE, then removed in r4/r5: "concat" (one
+# K=9*blk_ci dot) blew scoped VMEM by 2.25M at L0 320ch
+# (bench_logs_r4/bench_taps_concat_r4.log); "dy3" (3 dots, K=3*blk_ci)
+# measured 0.7144 vs the 0.7153 ddim-50 epoch
+# (bench_logs_r4/bench_taps_dy3_r4b.log) — the im2col concat per grid step
+# costs more than the deeper contraction buys.
 
 
-def set_int8_tap_mode(mode: str) -> None:
-    global _INT8_TAP_MODE
-    assert mode in ("sum9", "dy3")
-    _INT8_TAP_MODE = mode
-
-
-def _conv_int8_kernel(
-    *refs, has_res: bool = False, tap_mode: str = "sum9", emit_moments: bool = False
-):
-    refs = list(refs)
-    x0, x1, x2, w_ref, sc_ref, b_ref = refs[:6]
-    rest = refs[6:]
-    res_ref = rest.pop(0) if has_res else None
-    if emit_moments:
-        o_ref, mom_ref, acc_ref = rest
-    else:
-        (o_ref, acc_ref), mom_ref = rest, None
+def _conv_int8_kernel(*refs):
+    x0, x1, x2, w_ref, sc_ref, b_ref, o_ref, acc_ref = refs
     ci = pl.program_id(3)
 
     @pl.when(ci == 0)
@@ -479,66 +398,21 @@ def _conv_int8_kernel(
     h = o_ref.shape[1]
     blk_w = o_ref.shape[2]
     blk_ci = x0.shape[3]
-    if tap_mode == "dy3":
-        for dx, xr in enumerate((x0, x1, x2)):
-            xs = jnp.concatenate(
-                [xr[0, dy : dy + h].reshape(h * blk_w, blk_ci) for dy in range(3)],
-                axis=1,
-            )
-            wf = w_ref[:, dx].reshape(3 * blk_ci, w_ref.shape[3])
+    for dx, xr in enumerate((x0, x1, x2)):
+        for dy in range(3):
+            xs = xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
             acc_ref[...] += jax.lax.dot_general(
-                xs, wf,
+                xs, w_ref[dy, dx],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-    else:
-        for dx, xr in enumerate((x0, x1, x2)):
-            for dy in range(3):
-                xs = xr[0, dy : dy + h].reshape(h * blk_w, blk_ci)
-                acc_ref[...] += jax.lax.dot_general(
-                    xs, w_ref[dy, dx],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
 
     @pl.when(ci == pl.num_programs(3) - 1)
     def _write():
         # dequant: sc_ref holds s_x * w_scale[c] (fp32), bias folded separately
         r = acc_ref[...].astype(jnp.float32) * sc_ref[0] + b_ref[0].astype(jnp.float32)
         r = r.reshape(h, blk_w, o_ref.shape[3])
-        if res_ref is not None:
-            r = r + res_ref[0].astype(jnp.float32)
-        rb = r.astype(o_ref.dtype)
-        o_ref[0] = rb
-        if mom_ref is not None:
-            # per-channel spatial stats of the ROUNDED output (what a GN
-            # consumer would read back) — accumulated across the wj grid dim
-            # (block index constant over (wj, ci), so the tile stays
-            # resident).  Rows: [Σ, Σ², min, max] — min/max give the exact
-            # SiLU abs-max envelope downstream (no separate amax read).
-            rf = rb.astype(jnp.float32)
-            s1 = jnp.sum(rf, axis=(0, 1))[None, :]       # [1, blk_co]
-            s2 = jnp.sum(rf * rf, axis=(0, 1))[None, :]
-            mn = jnp.min(rf, axis=(0, 1))[None, :]
-            mx = jnp.max(rf, axis=(0, 1))[None, :]
-            mom = jnp.concatenate([s1, s2, mn, mx], axis=0)  # [4, blk_co]
-
-            @pl.when(pl.program_id(2) == 0)
-            def _init():
-                mom_ref[0] = mom
-
-            @pl.when(pl.program_id(2) != 0)
-            def _acc():
-                cur = mom_ref[0]
-                mom_ref[0] = jnp.concatenate(
-                    [
-                        cur[0:1] + s1,
-                        cur[1:2] + s2,
-                        jnp.minimum(cur[2:3], mn),
-                        jnp.maximum(cur[3:4], mx),
-                    ],
-                    axis=0,
-                )
+        o_ref[0] = r.astype(o_ref.dtype)
 
 
 def conv3x3_int8(
@@ -547,16 +421,12 @@ def conv3x3_int8(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """3x3 stride-1 pad-1 conv with int8 weights (HWIO) + dynamic int8
     activations; NHWC.  Dispatches single-input vs 3-copy per shape (see the
-    kernel section comment).  Caller must check conv3x3_int8_qualifies.
-    ``res`` fuses a residual add into the kernel epilogue (plain add when no
-    res-resident plan fits)."""
+    kernel section comment).  Caller must check conv3x3_int8_qualifies."""
     b, h, wd, ci = x.shape
     co = wq.shape[-1]
-    want_res = res is not None
     mode = _INT8_CONV_MODE
     if mode == "auto":
         # measured on v5e (scripts/tpu_r3_convshapes.py, /tmp logs r3): with
@@ -565,14 +435,10 @@ def conv3x3_int8(
         # vs 0.431 ms — the r2 probe's +19% for single timed copy3 WITH
         # quantization but single WITHOUT it).  single's role is the small
         # 8x16 levels where copy3 has no aligned column plan.
-        mode = "copy3" if _plan_int8(h, wd, ci, co, res=want_res) is not None else "single"
-    if mode == "single" and _plan_int8_single(h, wd, ci, co, res=want_res) is not None:
-        return conv3x3_int8_single(x, wq, w_scale, bias, out_dtype, res=res)
-    if want_res and _plan_int8(h, wd, ci, co, res=True) is None:
-        # no res-resident plan fits: unfused add over the plain dispatch
-        out = conv3x3_int8(x, wq, w_scale, bias, out_dtype)
-        return out + res.astype(out.dtype)
-    return conv3x3_int8_copy3(x, wq, w_scale, bias, out_dtype, res=res)
+        mode = "copy3" if _plan_int8(h, wd, ci, co) is not None else "single"
+    if mode == "single" and _plan_int8_single(h, wd, ci, co) is not None:
+        return conv3x3_int8_single(x, wq, w_scale, bias, out_dtype)
+    return conv3x3_int8_copy3(x, wq, w_scale, bias, out_dtype)
 
 
 def conv3x3_int8_copy3(
@@ -581,11 +447,10 @@ def conv3x3_int8_copy3(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """3-copy int8 conv (r2 kernel): three column-shifted input copies."""
     xq, sx = quantize_activation(x)
-    return conv3x3_int8_copy3_pre(xq, sx, wq, w_scale, bias, out_dtype, res=res)
+    return conv3x3_int8_copy3_pre(xq, sx, wq, w_scale, bias, out_dtype)
 
 
 def conv3x3_int8_copy3_pre(
@@ -595,20 +460,13 @@ def conv3x3_int8_copy3_pre(
     w_scale: jax.Array,
     bias: jax.Array,
     out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,
-    emit_moments: bool = False,
 ):
     """copy3 kernel on a PRE-quantized activation (xq int8, sx scalar f32) —
-    lets the fused GN+SiLU+quantize prologue feed the conv directly.
-    ``res`` [B,H,W,CO] fuses a residual add into the epilogue.
-    ``emit_moments``: also return the per-channel spatial sums
-    [B, 2, CO] (Σout, Σout²) of the written output, accumulated in the
-    epilogue — a downstream GroupNorm consumer then skips its own
-    full-tensor moments read."""
+    lets the fused GN+SiLU+quantize prologue feed the conv directly."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
-    plan = _plan_int8(h, wd, ci, co, res=res is not None, moments=emit_moments)
-    assert plan is not None, "caller must check the moments-aware plan"
+    plan = _plan_int8(h, wd, ci, co)
+    assert plan is not None, "caller must check the plan"
     (blk_w, blk_ci, blk_co), ci_eff = plan
 
     cpad = ci_eff - ci
@@ -649,29 +507,12 @@ def conv3x3_int8_copy3_pre(
         ),
     ]
     operands = [x0, x1, x2, wq, scales, bias2]
-    if res is not None:
-        in_specs.append(o_spec)
-        operands.append(res)
-    out_shape = jax.ShapeDtypeStruct((b, h, wd, co), out_dtype)
-    out_specs = o_spec
-    if emit_moments:
-        out_shape = [out_shape, jax.ShapeDtypeStruct((b, 4, co), jnp.float32)]
-        out_specs = [
-            o_spec,
-            pl.BlockSpec(
-                (1, 4, blk_co), lambda bi, coj, wj, cij: (bi, 0, coj),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
     out = pl.pallas_call(
-        functools.partial(
-            _conv_int8_kernel, has_res=res is not None, tap_mode=_INT8_TAP_MODE,
-            emit_moments=emit_moments,
-        ),
-        out_shape=out_shape,
+        _conv_int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, co), out_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((h * blk_w, blk_co), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * h * wd * ci * co,
@@ -946,26 +787,18 @@ def gn_quant_rowwise(
     num_groups: int = 32,
     eps: float = 1e-6,
     norm_out: bool = True,
-    moments: Optional[tuple] = None,   # (Σx, Σx²) [B,C] from an upstream conv
 ) -> tuple[Optional[jax.Array], jax.Array, jax.Array]:
     """Fused GroupNorm32 + per-row (per-pixel) int8 quantization for the
     SpatialTransformer norm -> proj_in site (attention.py:355-363): GN
     statistics fold to per-channel affine vectors (fp32, _gn_affine_ab), one
     Pallas pass then writes (x_norm, xq, scales [B,H,W,1]) — replacing the
     GN pass + the two quantize reads.  Caller must check gn_quant_qualifies.
-    ``moments``: per-channel spatial SUMS of x emitted by the preceding
-    ResBlock's conv epilogue — skips this call's own moments read too.
 
     Inference-only, like ln_quant_rowwise."""
     b, h, w, c = x.shape
-    if moments is not None:
-        n = float(h * w)
-        m_c = moments[0].astype(jnp.float32) / n
-        q_c = moments[1].astype(jnp.float32) / n
-    else:
-        xf32 = x.astype(jnp.float32)
-        m_c = jnp.mean(xf32, axis=(1, 2))
-        q_c = jnp.mean(xf32 * xf32, axis=(1, 2))
+    xf32 = x.astype(jnp.float32)
+    m_c = jnp.mean(xf32, axis=(1, 2))
+    q_c = jnp.mean(xf32 * xf32, axis=(1, 2))
     a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, None, None)
     blk_h, blk_w = _plan_affine_blocks(h, w, c)
     a3 = a.reshape(b, 1, c)
@@ -1041,53 +874,14 @@ def _gn_affine_ab(
     return a, bb
 
 
-def _silu_env_amax(mn: jax.Array, mx: jax.Array, a: jax.Array, bb: jax.Array):
-    """Exact abs-max of silu(x*a+bb) over a tensor whose per-channel (min,
-    max) envelope is known: |silu| on an interval peaks at an endpoint or at
-    the single interior minimum y*≈-1.2785 (|silu(y*)|≈0.2785)."""
-    lo = mn.astype(jnp.float32) * a + bb
-    hi = mx.astype(jnp.float32) * a + bb
-    y_lo = jnp.minimum(lo, hi)
-    y_hi = jnp.maximum(lo, hi)
-
-    def _silu(v):
-        return v * jax.nn.sigmoid(v)
-
-    cand = jnp.maximum(jnp.abs(_silu(y_lo)), jnp.abs(_silu(y_hi)))
-    ystar, silu_min = -1.2784645, 0.2784645
-    cand = jnp.where(
-        (y_lo <= ystar) & (ystar <= y_hi), jnp.maximum(cand, silu_min), cand
-    )
-    return jnp.max(cand)
-
-
-def _conv3x3_int8_pre_dispatch(xq, sx, wq, w_scale, bias, out_dtype, res, emit):
-    """copy3-preferred kernel dispatch on a PRE-quantized activation that
-    degrades the moments epilogue when its VMEM headroom doesn't fit: the
-    kernel choice (copy3 over single, measured faster everywhere it has a
-    plan) stays primary; ``emit`` drops to False within the chosen kernel if
-    only its plain plan fits the budget.  Returns (out, mom-or-None), or
-    None when no res-resident plan exists at all (caller unfuses the add)."""
+def _conv3x3_int8_pre(xq, sx, wq, w_scale, bias, out_dtype):
+    """copy3-preferred kernel dispatch on a PRE-quantized activation (the
+    kernel choice mirrors conv3x3_int8: copy3 wherever it has a plan)."""
     b, h, wd, ci = xq.shape
     co = wq.shape[-1]
-    want_res = res is not None
-    if _plan_int8(h, wd, ci, co, res=want_res) is not None:
-        e = emit and _plan_int8(h, wd, ci, co, res=want_res, moments=True) is not None
-        out = conv3x3_int8_copy3_pre(
-            xq, sx, wq, w_scale, bias, out_dtype, res=res, emit_moments=e
-        )
-        return out if e else (out, None)
-    if _plan_int8_single(h, wd, ci, co, res=want_res) is not None:
-        e = (
-            emit
-            and _plan_int8_single(h, wd, ci, co, res=want_res, moments=True)
-            is not None
-        )
-        out = conv3x3_int8_single_pre(
-            xq, sx, wq, w_scale, bias, out_dtype, res=res, emit_moments=e
-        )
-        return out if e else (out, None)
-    return None
+    if _plan_int8(h, wd, ci, co) is not None:
+        return conv3x3_int8_copy3_pre(xq, sx, wq, w_scale, bias, out_dtype)
+    return conv3x3_int8_single_pre(xq, sx, wq, w_scale, bias, out_dtype)
 
 
 def gn_silu_conv3x3_int8(
@@ -1103,175 +897,40 @@ def gn_silu_conv3x3_int8(
     emb: Optional[jax.Array] = None,          # [B, C]: h+emb BEFORE the GN
     scale_shift: Optional[tuple] = None,      # (s [B,C], t [B,C]): GN(h)*(1+s)+t
     out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,          # [B,H,W,CO]: fused residual add
-    moments: Optional[tuple] = None,          # (Σx, Σx²) [B,C] from upstream
-    emit_moments: bool = False,               # also return (Σout, Σout²)
 ):
     """Fused GroupNorm32 + (emb-add | scale-shift) + SiLU + int8-quantize +
     3x3 int8 conv — the ResBlock conv stack (openaimodel.py:162-274) with the
-    fp32-statistics island intact.  ``res`` adds the ResBlock skip tensor in
-    the conv epilogue (openaimodel.py:273), saving one HBM round-trip of the
-    conv output.
+    fp32-statistics island intact.
 
     The emb-add folds into the statistics without materializing h+emb:
     with e per (b,c) constant over space, group mean' = mean_g(m_c + e_c) and
     E[(h+e)^2] = q_c + 2 e_c m_c + e_c^2 from the per-channel spatial moments
     (m_c, q_c) — two tiny [B,C] reductions of x are the only XLA work.
 
-    ``moments``: per-channel spatial stats of x emitted by an upstream conv
-    epilogue (``emit_moments=True``) — (Σx, Σx²) or (Σx, Σx², min, max),
-    [B, C] each.  Skips this call's own full-tensor moments read; with
-    min/max present the quantization scale comes from the exact SiLU
-    envelope (|silu| on an interval peaks at an endpoint or the single
-    interior minimum y*≈-1.2785), skipping the abs-max read as well — the
-    only remaining read of x is the quantize kernel itself.
-    ``emit_moments``: this call's conv emits the same 4 stats for ITS
-    output; the return becomes (out, [B, 4, CO])."""
+    Epilogue variants (fused residual add, per-channel output-stats emission
+    for downstream GN consumers, and a split-kernel virtual-concat form) were
+    built and measured end-to-end NEGATIVE or neutral on the r4 six-flag
+    bisect (RESADD -1.3%, CONV_MOMENTS -0.13%, SPLIT_CAT -0.06% vs the
+    0.7153 ddim-50 epoch, bench_logs_r4) — removed in r5."""
     b, h, w, c = x.shape
-    if moments is not None:
-        n = float(h * w)
-        m_c = moments[0].astype(jnp.float32) / n
-        q_c = moments[1].astype(jnp.float32) / n
-    else:
-        xf32 = x.astype(jnp.float32)
-        m_c = jnp.mean(xf32, axis=(1, 2))            # [B, C] spatial mean
-        q_c = jnp.mean(xf32 * xf32, axis=(1, 2))     # [B, C] spatial E[x^2]
+    xf32 = x.astype(jnp.float32)
+    m_c = jnp.mean(xf32, axis=(1, 2))            # [B, C] spatial mean
+    q_c = jnp.mean(xf32 * xf32, axis=(1, 2))     # [B, C] spatial E[x^2]
     a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, emb, scale_shift)
 
-    if moments is not None and len(moments) >= 4:
-        # exact tensor abs-max of silu(x*a+bb) from the per-channel envelope
-        amax = _silu_env_amax(moments[2], moments[3], a, bb)
-    else:
-        # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce
-        # (no materialized tensor; silu is monotone-ish but not, so reduce
-        # the real value)
-        xf32 = x.astype(jnp.float32)
-        y = xf32 * a[:, None, None, :] + bb[:, None, None, :]
-        amax = jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
+    # quantization scale: amax of silu(x*a+bb) — one fused XLA reduce
+    # (no materialized tensor; silu is monotone-ish but not, so reduce
+    # the real value)
+    y = xf32 * a[:, None, None, :] + bb[:, None, None, :]
+    amax = jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
     scale = jnp.maximum(amax, 1e-8) / 127.0
 
     xq = affine_silu_quant(x, a, bb, 1.0 / scale)
-    want_res = res is not None
-    r = _conv3x3_int8_pre_dispatch(
-        xq, scale, wq, w_scale, bias, out_dtype, res, emit_moments
-    )
-    if r is not None:
-        return r if emit_moments else r[0]
-    # no plan fits with the residual block resident: fall back to a separate
-    # add over the plain dispatch.  The unfused res-add happens after the
-    # epilogue, so any emitted moments wouldn't describe the final output —
-    # don't emit them (caller treats None as "recompute").
-    out, mom = _conv3x3_int8_pre_dispatch(
-        xq, scale, wq, w_scale, bias, out_dtype, None, emit_moments and not want_res
-    )
-    if want_res:
-        out = out + res.astype(out.dtype)
-        mom = None
-    return (out, mom) if emit_moments else out
+    return _conv3x3_int8_pre(xq, scale, wq, w_scale, bias, out_dtype)
 
 
 def gn_silu_conv3x3_int8_qualifies(h: int, w: int, ci: int, co: int, num_groups: int = 32) -> bool:
     return conv3x3_int8_qualifies(h, w, ci, co) and ci % num_groups == 0
-
-
-def gn_silu_conv3x3_int8_cat2(
-    x1: jax.Array,         # [B, H, W, C1] bf16 — the upsampled stream
-    x2: jax.Array,         # [B, H, W, C2] bf16 — the encoder skip
-    gamma: jax.Array,      # [C1+C2]
-    beta: jax.Array,
-    wq: jax.Array,         # [3,3,C1+C2,CO] int8
-    w_scale: jax.Array,    # [CO]
-    bias: jax.Array,       # [CO]
-    *,
-    num_groups: int = 32,
-    eps: float = 1e-5,
-    emb: Optional[jax.Array] = None,
-    scale_shift: Optional[tuple] = None,
-    out_dtype=jnp.bfloat16,
-    res: Optional[jax.Array] = None,
-    emit_moments: bool = False,
-    moments: Optional[tuple] = None,   # combined [B, C1+C2] stats of [x1‖x2]
-):
-    """gn_silu_conv3x3_int8 over a VIRTUAL channel concat [x1 ‖ x2] — the
-    decoder skip cat (openaimodel.py:760, `th.cat([h, hs.pop()], dim=1)`)
-    without ever materializing the concatenated tensor in HBM:
-
-    - GroupNorm statistics reduce per-channel spatial moments, computed per
-      part and concatenated as tiny [B, C] vectors (exact — see
-      _gn_affine_ab);
-    - the folded affine+SiLU+quantize runs per part with a SHARED dynamic
-      int8 scale (joint abs-max), so the quantized parts are bit-identical
-      to quantizing the materialized concat;
-    - conv(cat, W) == conv(x1, W[:, :, :C1]) + conv(x2, W[:, :, C1:]):
-      the second kernel consumes the first's output through the fused
-      residual epilogue, so the partial sum costs one extra HBM round-trip
-      of the (CO-channel) output instead of write+read of the (C1+C2)-wide
-      concat.
-
-    Falls back to materializing the concat when a needed conv plan is
-    missing."""
-    b, h, w, c1 = x1.shape
-    c2 = x2.shape[-1]
-    co = wq.shape[-1]
-
-    def plan_any(ci_, res_):
-        return (
-            _plan_int8(h, w, ci_, co, res=res_) is not None
-            or _plan_int8_single(h, w, ci_, co, res=res_) is not None
-        )
-
-    if not (plan_any(c1, res is not None) and plan_any(c2, True)):
-        return gn_silu_conv3x3_int8(
-            jnp.concatenate([x1, x2], axis=-1), gamma, beta, wq, w_scale, bias,
-            num_groups=num_groups, eps=eps, emb=emb, scale_shift=scale_shift,
-            out_dtype=out_dtype, res=res, emit_moments=emit_moments,
-            moments=moments,
-        )
-
-    n = float(h * w)
-    if moments is not None:
-        m_c = moments[0].astype(jnp.float32) / n
-        q_c = moments[1].astype(jnp.float32) / n
-    else:
-        f1 = x1.astype(jnp.float32)
-        f2 = x2.astype(jnp.float32)
-        m_c = jnp.concatenate(
-            [jnp.mean(f1, axis=(1, 2)), jnp.mean(f2, axis=(1, 2))], -1
-        )
-        q_c = jnp.concatenate(
-            [jnp.mean(f1 * f1, axis=(1, 2)), jnp.mean(f2 * f2, axis=(1, 2))], -1
-        )
-    a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, num_groups, eps, emb, scale_shift)
-    a1, a2 = a[:, :c1], a[:, c1:]
-    b1, b2 = bb[:, :c1], bb[:, c1:]
-
-    if moments is not None and len(moments) >= 4:
-        amax = _silu_env_amax(moments[2], moments[3], a, bb)
-    else:
-
-        def part_amax(x_, av, bv):
-            y = x_.astype(jnp.float32) * av[:, None, None, :] + bv[:, None, None, :]
-            return jnp.max(jnp.abs(y * jax.nn.sigmoid(y)))
-
-        amax = jnp.maximum(part_amax(x1, a1, b1), part_amax(x2, a2, b2))
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    inv = 1.0 / scale
-    xq1 = affine_silu_quant(x1, a1, b1, inv)
-    xq2 = affine_silu_quant(x2, a2, b2, inv)
-
-    def conv_part(xq, wpart, bias_, res_, emit=False):
-        r = _conv3x3_int8_pre_dispatch(
-            xq, scale, wpart, w_scale, bias_, out_dtype, res_, emit
-        )
-        assert r is not None, "plan_any above guarantees a res-resident plan"
-        return r if emit else r[0]
-
-    out1 = conv_part(xq1, wq[:, :, :c1], bias, res)
-    # the second part's epilogue sees the FINAL sum (res chained), so its
-    # moments are the moments of the true output
-    fin = conv_part(xq2, wq[:, :, c1:], jnp.zeros_like(bias), out1,
-                    emit=emit_moments)
-    return fin
 
 
 # ---------------------------------------------------------------------------

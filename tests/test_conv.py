@@ -112,42 +112,3 @@ def test_conv3x3_module_matches_nn_conv():
     out = m.apply({"params": params}, x)
     ref = ref_conv.apply({"params": params}, x)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
-
-
-def test_bf16_conv_res_epilogue_matches_separate_add():
-    """conv3x3_res_op == conv3x3_op + res (fused bf16 residual epilogue),
-    and its VJP passes the residual cotangent straight through."""
-    import numpy as np
-    from jax.experimental.pallas import tpu as pltpu
-
-    from leftrefill_tpu.ops.conv import _plan, conv3x3_op, conv3x3_res_op
-
-    b, h, w, ci, co = 1, 16, 32, 128, 128
-    assert _plan(h, w, ci, co, res=True) is not None
-    ks = jax.random.split(jax.random.PRNGKey(40), 4)
-    x = jax.random.normal(ks[0], (b, h, w, ci), jnp.bfloat16)
-    wt = (jax.random.normal(ks[1], (3, 3, ci, co), jnp.float32) * 0.05).astype(jnp.bfloat16)
-    bias = jax.random.normal(ks[2], (co,), jnp.float32) * 0.1
-    res = jax.random.normal(ks[3], (b, h, w, co), jnp.bfloat16)
-
-    with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(conv3x3_op(x, wt, bias), np.float32)
-        fused = np.asarray(conv3x3_res_op(x, wt, bias, res), np.float32)
-    # fused adds res in fp32 before the single bf16 round; the unfused
-    # chain rounds the conv to bf16 first — up to 1 bf16 ulp apart
-    np.testing.assert_allclose(
-        fused, base + np.asarray(res, np.float32), atol=0.06, rtol=0.03
-    )
-
-    with pltpu.force_tpu_interpret_mode():
-        gres = jax.grad(
-            lambda rr: jnp.sum(conv3x3_res_op(x, wt, bias, rr).astype(jnp.float32) ** 2)
-        )(res)
-        g_ref = jax.grad(
-            lambda rr: jnp.sum(
-                (conv3x3_op(x, wt, bias) + rr).astype(jnp.float32) ** 2
-            )
-        )(res)
-    np.testing.assert_allclose(
-        np.asarray(gres, np.float32), np.asarray(g_ref, np.float32), atol=0.3, rtol=0.03
-    )

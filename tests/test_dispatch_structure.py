@@ -10,6 +10,11 @@ ldm/modules/diffusionmodules/openaimodel.py:512-796):
   22 ResBlocks (8 in + 2 mid + 12 out) x 2 convs = 44 3x3 convs
   16 SpatialTransformers (6 in + 1 mid + 9 out), 1 self + 1 cross + GEGLU each
   3 Upsample convs, 3 stride-2 Downsample convs, conv_in (9ch) + zero out conv
+
+The counts pin the SHIPPED default configuration (LEFTREFILL_FUSED_RES and
+LEFTREFILL_FUSED_LNQ default-ON — the two r4-bisect winners, +1.48% ddim50 /
++3.8% dpm15; the four measured-loser gates FFRES/RESADD/SPLIT_CAT/
+CONV_MOMENTS were deleted in r5).
 """
 
 from types import SimpleNamespace
@@ -38,17 +43,11 @@ def forced_tpu_dispatch(monkeypatch):
     monkeypatch.setattr(attn_mod, "jax", _FakeJax())
 
 
-#: the r3-late fusion family is default-OFF (measured −2.5% as a group on the
-#: DDIM-50 bench: cfgdup_only 0.7158 vs all-on 0.6979 canvases/s) but every
-#: kernel stays maintained behind its gate — this net pins the all-ON
-#: structure so a qualifier/plan regression can't silently fall back to XLA.
+#: the two surviving fusion gates (both default-ON since r4b; pinned
+#: explicitly so the trace doesn't depend on ambient env)
 FUSION_FAMILY = (
     "LEFTREFILL_FUSED_RES",
-    "LEFTREFILL_FUSED_RESADD",
-    "LEFTREFILL_FUSED_FFRES",
     "LEFTREFILL_FUSED_LNQ",
-    "LEFTREFILL_SPLIT_CAT",
-    "LEFTREFILL_CONV_MOMENTS",
 )
 
 
@@ -73,7 +72,6 @@ def _count_unet_dispatch(monkeypatch, quant: bool):
 
     for n in (
         "gn_silu_conv3x3_int8",
-        "gn_silu_conv3x3_int8_cat2",
         "conv3x3_int8",
         "dense_int8",
         "dense_int8_res_mom",
@@ -84,7 +82,6 @@ def _count_unet_dispatch(monkeypatch, quant: bool):
         wrap(quant_mod, n)
     wrap(mlp_mod, "geglu_fused_int8")
     wrap(mlp_mod, "geglu_fused")
-    wrap(mlp_mod, "geglu_fused_res")
     wrap(conv_mod, "conv3x3_apply")
     wrap(fa_mod, "_flash_forward")
 
@@ -109,10 +106,9 @@ def _count_unet_dispatch(monkeypatch, quant: bool):
 @pytest.mark.slow
 def test_int8_unet_dispatch_counts(forced_tpu_dispatch, monkeypatch):
     c = _count_unet_dispatch(monkeypatch, quant=True)
-    # all 44 ResBlock 3x3 convs run the fused GN+SiLU+quant+conv kernel;
-    # the 12 decoder first-convs consume the (h, skip) cat unmaterialized
-    assert c.get("gn_silu_conv3x3_int8", 0) == 32
-    assert c.get("gn_silu_conv3x3_int8_cat2", 0) == 12
+    # all 44 ResBlock 3x3 convs run the fused GN+SiLU+quant+conv kernel
+    # (decoder first-convs consume the materialized skip concat)
+    assert c.get("gn_silu_conv3x3_int8", 0) == 44
     # only conv_in (9ch input stays fp by design) and the zero-init out conv
     # bypass int8
     assert c.get("conv3x3_apply", 0) == 2
@@ -126,28 +122,29 @@ def test_int8_unet_dispatch_counts(forced_tpu_dispatch, monkeypatch):
     assert c.get("gn_quant_rowwise", 0) == 16
     assert c.get("geglu_fused_int8", 0) == 16
     assert c.get("geglu_fused", 0) == 0
-    # proj_out fused GEMM(+residual+moments) where the row plan exists
+    # proj_out fused GEMM+residual where the row plan exists
     assert c.get("dense_int8_res_mom", 0) == 11
     # every self-attention runs the Pallas flash kernel except the 128-token
     # middle block (below the lane-tile minimum); cross-attn (Nk=77) is XLA
     assert c.get("_flash_forward", 0) == 15
     # remaining dense sites (attention projections, cross k/v, skip 1x1,
-    # emb projections, unfused proj_out) — pinned as a total
-    assert c.get("dense_int8", 0) == 175
+    # emb projections, unfused proj_out) — pinned as a total.  r5: the
+    # split-kernel skip-1x1 (two GEMMs over the unmaterialized concat,
+    # part of the deleted SPLIT_CAT family) collapsed to one GEMM per
+    # decoder skip site: 175 - 12 = 163
+    assert c.get("dense_int8", 0) == 163
 
 
 def test_bf16_unet_dispatch_counts(forced_tpu_dispatch, monkeypatch):
     c = _count_unet_dispatch(monkeypatch, quant=False)
     # bf16 path: 49 stride-1 3x3 convs through the Pallas conv dispatcher
     # (44 ResBlock + conv_in/out + 3 Upsample; stride-2 Downsamples are XLA),
-    # the residual-fused bf16 GEGLU, same 15 flash self-attentions
+    # the fused bf16 GEGLU, same 15 flash self-attentions
     assert c.get("conv3x3_apply", 0) == 49
-    assert c.get("geglu_fused_res", 0) == 16
-    assert c.get("geglu_fused", 0) == 0
+    assert c.get("geglu_fused", 0) == 16
     assert c.get("_flash_forward", 0) == 15
     for int8_only in (
         "gn_silu_conv3x3_int8",
-        "gn_silu_conv3x3_int8_cat2",
         "conv3x3_int8",
         "dense_int8",
         "ln_quant_rowwise",

@@ -395,298 +395,6 @@ def test_quant_downsample_close_to_fp(monkeypatch):
         rel = np.abs(q_out - fp_out).max() / np.abs(fp_out).max()
         assert rel < 0.05, (flag, rel)
 
-
-@pytest.mark.parametrize("kind", ["copy3", "single", "single_copad"])
-def test_int8_conv_res_epilogue_matches_separate_add(kind):
-    """The fused-residual conv epilogue (res=...) == conv then a separate add,
-    for both kernels, incl. the output-channel-padded single plan."""
-    from leftrefill_tpu.ops.quant import (
-        _plan_int8,
-        _plan_int8_single,
-        conv3x3_int8_copy3_pre,
-        conv3x3_int8_single_pre,
-    )
-
-    co = 96 if kind == "single_copad" else 128
-    b, h, w, c = 1, 16, 32, 128
-    ks = jax.random.split(jax.random.PRNGKey(31), 3)
-    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
-    wt = jax.random.normal(ks[1], (3, 3, c, co), jnp.float32) * 0.05
-    res = jax.random.normal(ks[2], (b, h, w, co), jnp.float32)
-    bias = jnp.zeros((co,), jnp.float32)
-    wq, ws = quantize_weight(wt)
-    xq, sx = quantize_activation(x)
-
-    pre = conv3x3_int8_copy3_pre if kind == "copy3" else conv3x3_int8_single_pre
-    plan = (
-        _plan_int8(h, w, c, co, res=True)
-        if kind == "copy3"
-        else _plan_int8_single(h, w, c, co, res=True)
-    )
-    assert plan is not None
-    with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(pre(xq, sx, wq, ws, bias, jnp.float32))
-        fused = np.asarray(pre(xq, sx, wq, ws, bias, jnp.float32, res=res))
-    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
-
-
-def test_gn_silu_conv_res_matches_separate_add():
-    """gn_silu_conv3x3_int8(res=skip) == the same call plus a separate add."""
-    from leftrefill_tpu.ops.quant import gn_silu_conv3x3_int8
-
-    b, h, w, c, co = 2, 16, 32, 128, 128
-    ks = jax.random.split(jax.random.PRNGKey(32), 6)
-    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
-    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32)
-    beta = 0.1 * jax.random.normal(ks[2], (c,), jnp.float32)
-    wt = jax.random.normal(ks[3], (3, 3, c, co), jnp.float32) * 0.05
-    bias = jax.random.normal(ks[4], (co,), jnp.float32) * 0.1
-    emb = jax.random.normal(ks[5], (b, c), jnp.float32)
-    res = jax.random.normal(jax.random.PRNGKey(33), (b, h, w, co), jnp.float32)
-    wq, ws = quantize_weight(wt)
-
-    with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(
-            gn_silu_conv3x3_int8(
-                x, gamma, beta, wq, ws, bias, num_groups=32, emb=emb,
-                out_dtype=jnp.float32,
-            )
-        )
-        fused = np.asarray(
-            gn_silu_conv3x3_int8(
-                x, gamma, beta, wq, ws, bias, num_groups=32, emb=emb,
-                out_dtype=jnp.float32, res=res,
-            )
-        )
-    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
-
-
-@pytest.mark.parametrize("channels", [(128, 128), (128, 256)])
-@pytest.mark.slow
-def test_resblock_fused_resadd_matches_unfused(monkeypatch, channels):
-    """ResBlock with the fused-residual epilogue (LEFTREFILL_FUSED_RESADD=1)
-    == the same block with a separate skip+h add, on the Pallas int8 path
-    (on_tpu monkeypatched, interpret mode), for identity and 1x1-conv skips.
-    The param tree must be identical so checkpoints stay interchangeable."""
-    import leftrefill_tpu.ops.conv as conv_mod
-    from leftrefill_tpu.models.unet import ResBlock
-
-    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
-    in_ch, out_ch = channels
-    b, h, w = 1, 16, 32
-    rng = np.random.RandomState(7)
-    x = jnp.asarray(rng.randn(b, h, w, in_ch).astype(np.float32), jnp.bfloat16)
-    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
-
-    block = ResBlock(out_channels=out_ch, dtype=jnp.bfloat16, quant=True)
-    with pltpu.force_tpu_interpret_mode():
-        monkeypatch.setenv("LEFTREFILL_FUSED_RESADD", "1")
-        params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
-        # quantize the fp32 int8-site kernels the way quantize_params_like does
-        from leftrefill_tpu.ops.quant import quantize_params_like
-
-        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), x, emb)["params"]
-        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
-        fused = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
-
-        monkeypatch.setenv("LEFTREFILL_FUSED_RESADD", "0")
-        p2 = block.init(jax.random.PRNGKey(0), x, emb)["params"]
-        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
-        unfused = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
-
-    rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
-    assert rel < 0.03, rel  # bf16 epilogue rounding only
-
-
-def test_geglu_int8_res_matches_separate_add():
-    """geglu_fused_int8(res=...) == the same call plus a separate add."""
-    from leftrefill_tpu.ops.mlp import _plan, geglu_fused_int8
-
-    r, din, mult = 256, 128, 4
-    inner, dout = din * mult, din
-    assert _plan(r, din, inner, dout, x_elt=1, w_elt=1, res=True) is not None
-    ks = jax.random.split(jax.random.PRNGKey(13), 6)
-    x = jax.random.normal(ks[0], (r, din), jnp.float32)
-    w1 = jax.random.normal(ks[1], (din, 2 * inner), jnp.float32) * 0.05
-    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
-    w2 = jax.random.normal(ks[3], (inner, dout), jnp.float32) * 0.05
-    b2 = jax.random.normal(ks[4], (dout,), jnp.float32) * 0.1
-    res = jax.random.normal(ks[5], (r, dout), jnp.float32)
-    w1q, s1 = quantize_weight(w1)
-    w2q, s2 = quantize_weight(w2)
-    with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(
-            geglu_fused_int8(x, w1q, s1, b1, w2q, s2, b2, out_dtype=jnp.float32)
-        )
-        fused = np.asarray(
-            geglu_fused_int8(
-                x, w1q, s1, b1, w2q, s2, b2, out_dtype=jnp.float32, res=res
-            )
-        )
-    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
-
-
-def test_geglu_fused_res_matches_and_differentiates():
-    """bf16 geglu_fused_res == geglu_fused + res; custom VJP passes the
-    residual cotangent straight through (training path of the fused FF)."""
-    from leftrefill_tpu.ops.mlp import _plan, geglu_fused, geglu_fused_res
-
-    r, din, mult = 256, 128, 4
-    inner, dout = din * mult, din
-    assert _plan(r, din, inner, dout, x_elt=2, w_elt=2, res=True) is not None
-    ks = jax.random.split(jax.random.PRNGKey(14), 6)
-    x = jax.random.normal(ks[0], (r, din), jnp.float32)
-    w1 = jax.random.normal(ks[1], (din, 2 * inner), jnp.float32) * 0.05
-    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
-    w2 = jax.random.normal(ks[3], (inner, dout), jnp.float32) * 0.05
-    b2 = jax.random.normal(ks[4], (dout,), jnp.float32) * 0.1
-    res = jax.random.normal(ks[5], (r, dout), jnp.float32)
-    with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(geglu_fused(x, w1, b1, w2, b2))
-        fused = np.asarray(geglu_fused_res(x, w1, b1, w2, b2, res))
-    np.testing.assert_allclose(fused, base + np.asarray(res), atol=1e-5, rtol=1e-5)
-
-    with pltpu.force_tpu_interpret_mode():
-        gx, gres = jax.grad(
-            lambda xx, rr: jnp.sum(geglu_fused_res(xx, w1, b1, w2, b2, rr) ** 2),
-            argnums=(0, 1),
-        )(x, res)
-    with pltpu.force_tpu_interpret_mode():
-        gx_ref, gres_ref = jax.grad(
-            lambda xx, rr: jnp.sum((geglu_fused(xx, w1, b1, w2, b2) + rr) ** 2),
-            argnums=(0, 1),
-        )(x, res)
-    np.testing.assert_allclose(np.asarray(gres), np.asarray(gres_ref), atol=1e-4, rtol=1e-4)
-    rel = np.abs(np.asarray(gx) - np.asarray(gx_ref)).max() / max(
-        np.abs(np.asarray(gx_ref)).max(), 1e-6
-    )
-    assert rel < 0.05, rel
-
-
-@pytest.mark.parametrize("mode", ["dy3"])
-def test_int8_conv_tap_modes_match_sum9(mode):
-    """The deep-K tap variant (dy3: K=3*blk_ci) is bit-identical to sum9 —
-    same int32 accumulation, different dot grouping.  ("concat" K=9*blk_ci
-    was removed: 9x im2col buffer blew scoped VMEM at L0, r4 chain.)"""
-    from leftrefill_tpu.ops import quant as Q
-
-    ks = jax.random.split(jax.random.PRNGKey(3), 3)
-    x = jax.random.normal(ks[0], (2, 16, 32, 128), jnp.float32)
-    w = jax.random.normal(ks[1], (3, 3, 128, 128), jnp.float32) * 0.05
-    b = jax.random.normal(ks[2], (128,), jnp.float32)
-    wq, ws = quantize_weight(w)
-    try:
-        with pltpu.force_tpu_interpret_mode():
-            base = np.asarray(conv3x3_int8(x, wq, ws, b, out_dtype=jnp.float32))
-            Q.set_int8_tap_mode(mode)
-            out = np.asarray(conv3x3_int8(x, wq, ws, b, out_dtype=jnp.float32))
-    finally:
-        Q.set_int8_tap_mode("sum9")
-    np.testing.assert_array_equal(out, base)
-
-
-def test_gn_silu_conv_cat2_matches_materialized():
-    """gn_silu_conv3x3_int8_cat2 over (x1, x2) == gn_silu_conv3x3_int8 over
-    the materialized concat: identical quantized activations (shared joint
-    scale), split-kernel conv summed through the fused-res epilogue (one
-    extra bf16 rounding of the partial sum)."""
-    from leftrefill_tpu.ops.quant import (
-        gn_silu_conv3x3_int8,
-        gn_silu_conv3x3_int8_cat2,
-    )
-
-    ks = jax.random.split(jax.random.PRNGKey(11), 6)
-    b, h, w, c1, c2, co = 1, 16, 32, 128, 128, 128
-    x1 = jax.random.normal(ks[0], (b, h, w, c1), jnp.float32).astype(jnp.bfloat16)
-    x2 = jax.random.normal(ks[1], (b, h, w, c2), jnp.float32).astype(jnp.bfloat16)
-    gamma = 1.0 + 0.1 * jax.random.normal(ks[2], (c1 + c2,), jnp.float32)
-    beta = 0.1 * jax.random.normal(ks[3], (c1 + c2,), jnp.float32)
-    wt = jax.random.normal(ks[4], (3, 3, c1 + c2, co), jnp.float32) * 0.05
-    wq, ws = quantize_weight(wt)
-    bias = 0.1 * jax.random.normal(ks[5], (co,), jnp.float32)
-    emb = 0.1 * jax.random.normal(ks[5], (b, c1 + c2), jnp.float32)
-    res = jax.random.normal(ks[0], (b, h, w, co), jnp.float32).astype(jnp.bfloat16)
-
-    with pltpu.force_tpu_interpret_mode():
-        ref = np.asarray(
-            gn_silu_conv3x3_int8(
-                jnp.concatenate([x1, x2], -1), gamma, beta, wq, ws, bias,
-                num_groups=32, emb=emb, res=res,
-            ),
-            np.float32,
-        )
-        out = np.asarray(
-            gn_silu_conv3x3_int8_cat2(
-                x1, x2, gamma, beta, wq, ws, bias, num_groups=32, emb=emb, res=res,
-            ),
-            np.float32,
-        )
-    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
-    assert rel < 0.02, rel
-
-
-@pytest.mark.slow
-def test_resblock_split_cat_matches_materialized(monkeypatch):
-    """ResBlock((h, skip)) == ResBlock(cat([h, skip])) on the fused int8 path
-    (split-kernel convs + split 1x1 skip), with an identical param tree."""
-    import leftrefill_tpu.ops.conv as conv_mod
-    from leftrefill_tpu.models.unet import ResBlock
-    from leftrefill_tpu.ops.quant import quantize_params_like
-
-    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
-    b, h, w, c1, c2, out_ch = 1, 16, 32, 128, 128, 128
-    rng = np.random.RandomState(9)
-    x1 = jnp.asarray(rng.randn(b, h, w, c1).astype(np.float32), jnp.bfloat16)
-    x2 = jnp.asarray(rng.randn(b, h, w, c2).astype(np.float32), jnp.bfloat16)
-    xc = jnp.concatenate([x1, x2], axis=-1)
-    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
-
-    block = ResBlock(out_channels=out_ch, dtype=jnp.bfloat16, quant=True)
-    with pltpu.force_tpu_interpret_mode():
-        params = block.init(jax.random.PRNGKey(0), xc, emb)["params"]
-        p_tup = block.init(jax.random.PRNGKey(0), (x1, x2), emb)["params"]
-        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
-            p_tup
-        )
-        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), xc, emb)["params"]
-        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
-        ref = np.asarray(block.apply({"params": qp}, xc, emb), np.float32)
-        out = np.asarray(block.apply({"params": qp}, (x1, x2), emb), np.float32)
-    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
-    assert rel < 0.03, rel
-
-
-@pytest.mark.slow
-def test_unet_split_cat_plumbing_cpu():
-    """On CPU (no Pallas path) the decoder's unmaterialized-cat tuple must be
-    materialized inside ResBlock: SPLIT_CAT on/off are bit-identical."""
-    import os
-
-    from leftrefill_tpu.models.unet import UNetModel
-
-    m = UNetModel(
-        model_channels=64, num_res_blocks=1, attention_resolutions=(2,),
-        channel_mult=(1, 2), num_heads=2, context_dim=64,
-        transformer_depth=1, dtype=jnp.float32, quant=True,
-    )
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 9), jnp.float32)
-    t = jnp.array([3], jnp.int32)
-    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 64), jnp.float32)
-    params = m.init(jax.random.PRNGKey(2), x, t, ctx)
-    old = os.environ.get("LEFTREFILL_SPLIT_CAT")
-    try:
-        os.environ["LEFTREFILL_SPLIT_CAT"] = "1"
-        a = np.asarray(m.apply(params, x, t, ctx))
-        os.environ["LEFTREFILL_SPLIT_CAT"] = "0"
-        b_ = np.asarray(m.apply(params, x, t, ctx))
-    finally:
-        if old is None:
-            os.environ.pop("LEFTREFILL_SPLIT_CAT", None)
-        else:
-            os.environ["LEFTREFILL_SPLIT_CAT"] = old
-    np.testing.assert_array_equal(a, b_)
-
-
 def test_ln_quant_rowwise_matches_unfused():
     """ln_quant_rowwise == LayerNormF32 -> quantize_activation_rowwise (the
     fused path quantizes from the fp32 normalize, so allow 1 int8 LSB)."""
@@ -780,247 +488,12 @@ def test_spatial_transformer_gnq_matches_unfused(monkeypatch):
     assert rel < 0.05, rel
 
 
-@pytest.mark.parametrize("kind", ["copy3", "single"])
-def test_int8_conv_emit_moments_matches_output_sums(kind):
-    """emit_moments returns the per-channel (Σout, Σout²) of the written
-    output, accumulated across the column-block grid."""
-    from leftrefill_tpu.ops.quant import (
-        conv3x3_int8_copy3_pre,
-        conv3x3_int8_single_pre,
-    )
-
-    ks = jax.random.split(jax.random.PRNGKey(23), 3)
-    b, h, w, ci, co = 2, 16, 32, 128, 128
-    xq = jax.random.randint(ks[0], (b, h, w, ci), -7, 8, jnp.int8)
-    wq = jax.random.randint(ks[1], (3, 3, ci, co), -7, 8, jnp.int8)
-    ws = jnp.full((co,), 1e-2, jnp.float32)
-    bias = jax.random.normal(ks[2], (co,), jnp.float32) * 0.1
-    sx = jnp.float32(1e-2)
-    fn = conv3x3_int8_copy3_pre if kind == "copy3" else conv3x3_int8_single_pre
-    with pltpu.force_tpu_interpret_mode():
-        out, mom = fn(xq, sx, wq, ws, bias, jnp.float32, emit_moments=True)
-        base = fn(xq, sx, wq, ws, bias, jnp.float32)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
-    of = np.asarray(out, np.float64)
-    np.testing.assert_allclose(
-        np.asarray(mom[:, 0]), of.sum(axis=(1, 2)), rtol=1e-4, atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(mom[:, 1]), (of * of).sum(axis=(1, 2)), rtol=1e-4, atol=1e-4
-    )
-
-
-def test_resblock_conv_moments_matches_recompute(monkeypatch):
-    """ResBlock with LEFTREFILL_CONV_MOMENTS=1 (second GN consumes the conv1
-    epilogue's moments) == the same block recomputing moments from h."""
-    import leftrefill_tpu.ops.conv as conv_mod
-    from leftrefill_tpu.models.unet import ResBlock
-    from leftrefill_tpu.ops.quant import quantize_params_like
-
-    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
-    b, h, w, c = 1, 16, 32, 128
-    rng = np.random.RandomState(11)
-    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
-    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
-    block = ResBlock(out_channels=c, dtype=jnp.bfloat16, quant=True)
-    with pltpu.force_tpu_interpret_mode():
-        monkeypatch.setenv("LEFTREFILL_CONV_MOMENTS", "1")
-        params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
-        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), x, emb)["params"]
-        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
-        with_mom = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
-        monkeypatch.setenv("LEFTREFILL_CONV_MOMENTS", "0")
-        p2 = block.init(jax.random.PRNGKey(0), x, emb)["params"]
-        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
-        without = np.asarray(block.apply({"params": qp}, x, emb), np.float32)
-    rel = np.abs(with_mom - without).max() / max(np.abs(without).max(), 1e-6)
-    assert rel < 0.03, rel
-
-
-@pytest.mark.slow
-def test_resblock_emit_moments_interface(monkeypatch):
-    """ResBlock(emit_moments=True) returns (out, (Σ, Σ²)) on the fused int8
-    path with sums matching the actual output, and (out, None) on fp paths.
-
-    Block-output moments are only emittable when the residual add is fused
-    into the conv2 epilogue (otherwise the epilogue stats miss the skip add),
-    so the contract requires the full fused family ON — the gates shipped
-    default-OFF after the r3 family A/B (CLAUDE.md §3b); setenv them here
-    like tests/test_dispatch_structure.py does."""
-    import leftrefill_tpu.ops.conv as conv_mod
-    from leftrefill_tpu.models.unet import ResBlock
-    from leftrefill_tpu.ops.quant import quantize_params_like
-
-    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
-    monkeypatch.setenv("LEFTREFILL_FUSED_RES", "1")
-    monkeypatch.setenv("LEFTREFILL_FUSED_RESADD", "1")
-    monkeypatch.setenv("LEFTREFILL_CONV_MOMENTS", "1")
-    b, h, w, c = 1, 16, 32, 128
-    rng = np.random.RandomState(13)
-    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
-    emb = jnp.asarray(rng.randn(b, 64).astype(np.float32), jnp.bfloat16)
-    block = ResBlock(out_channels=c, dtype=jnp.bfloat16, quant=True)
-    with pltpu.force_tpu_interpret_mode():
-        params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
-        # fp params: interface returns (out, None)
-        out_fp, mom_fp = block.apply(
-            {"params": params}, x, emb, emit_moments=True
-        )
-        assert mom_fp is None
-        q_struct = jax.eval_shape(block.init, jax.random.PRNGKey(0), x, emb)["params"]
-        qp = quantize_params_like(q_struct, jax.tree.map(np.asarray, params))
-        out, mom = block.apply({"params": qp}, x, emb, emit_moments=True)
-        base = block.apply({"params": qp}, x, emb)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
-    assert mom is not None
-    of = np.asarray(out, np.float64)
-    np.testing.assert_allclose(
-        np.asarray(mom[0]), of.sum(axis=(1, 2)), rtol=1e-3, atol=1e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(mom[1]), (of * of).sum(axis=(1, 2)), rtol=1e-3, atol=1e-3
-    )
-
-
-def test_gn_quant_rowwise_moments_matches_recompute():
-    """gn_quant_rowwise(moments=(Σ, Σ²)) == recomputing the moments from x."""
-    from leftrefill_tpu.ops.quant import gn_quant_rowwise
-
-    ks = jax.random.split(jax.random.PRNGKey(17), 3)
-    b, h, w, c = 1, 16, 32, 128
-    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32).astype(jnp.bfloat16)
-    g = 1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32)
-    bta = 0.1 * jax.random.normal(ks[2], (c,), jnp.float32)
-    xf = np.asarray(x, np.float32)
-    mom = (
-        jnp.asarray(xf.sum(axis=(1, 2))),
-        jnp.asarray((xf * xf).sum(axis=(1, 2))),
-    )
-    with pltpu.force_tpu_interpret_mode():
-        xn0, xq0, sc0 = gn_quant_rowwise(x, g, bta)
-        xn1, xq1, sc1 = gn_quant_rowwise(x, g, bta, moments=mom)
-    np.testing.assert_allclose(
-        np.asarray(xn1, np.float32), np.asarray(xn0, np.float32), atol=0.02, rtol=0.02
-    )
-    deq0 = np.asarray(xq0, np.float32) * np.asarray(sc0)
-    deq1 = np.asarray(xq1, np.float32) * np.asarray(sc1)
-    np.testing.assert_allclose(deq1, deq0, atol=0.05, rtol=0.05)
-
-
-def test_silu_envelope_scale_matches_amax_read():
-    """The quant scale computed from the per-channel (min, max) envelope ==
-    the full abs-max read of silu(x*a+bb), to fp rounding: |silu| on an
-    interval peaks at an endpoint or the interior minimum y*=-1.2785."""
-    from leftrefill_tpu.ops.quant import _gn_affine_ab, gn_silu_conv3x3_int8
-
-    ks = jax.random.split(jax.random.PRNGKey(31), 6)
-    b, h, w, c, co = 2, 16, 32, 128, 128
-    # include negative-heavy and positive-heavy channels so some envelopes
-    # straddle y* and some don't
-    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32) * 2.0 - 0.5
-    gamma = 1.0 + 0.3 * jax.random.normal(ks[1], (c,), jnp.float32)
-    beta = 0.5 * jax.random.normal(ks[2], (c,), jnp.float32)
-    m_c = jnp.mean(x, axis=(1, 2))
-    q_c = jnp.mean(x * x, axis=(1, 2))
-    a, bb = _gn_affine_ab(m_c, q_c, gamma, beta, 32, 1e-5, None, None)
-    y = x * a[:, None, None, :] + bb[:, None, None, :]
-    amax_read = float(jnp.max(jnp.abs(y * jax.nn.sigmoid(y))))
-
-    lo = jnp.min(x, axis=(1, 2)) * a + bb
-    hi = jnp.max(x, axis=(1, 2)) * a + bb
-    y_lo, y_hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
-    s = lambda v: v * jax.nn.sigmoid(v)
-    cand = jnp.maximum(jnp.abs(s(y_lo)), jnp.abs(s(y_hi)))
-    cand = jnp.where(
-        (y_lo <= -1.2784645) & (-1.2784645 <= y_hi),
-        jnp.maximum(cand, 0.2784645), cand,
-    )
-    amax_env = float(jnp.max(cand))
-    assert amax_env >= amax_read - 1e-5          # valid (never underestimates)
-    assert amax_env <= amax_read * 1.0001 + 1e-5  # and tight (exact to rounding)
-
-
-@pytest.mark.slow
-def test_st_fused_proj_out_emits_stats(monkeypatch):
-    """SpatialTransformer int8: the fused proj_out GEMM (+ x_in residual)
-    returns output stats matching the actual output, and the output equals
-    the unfused path within quantization rounding."""
-    import leftrefill_tpu.ops.conv as conv_mod
-    from leftrefill_tpu.models.unet import SpatialTransformer
-    from leftrefill_tpu.ops.quant import quantize_params_like
-
-    monkeypatch.setattr(conv_mod, "on_tpu", lambda: True)
-    b, h, w, c = 1, 16, 32, 128
-    rng = np.random.RandomState(6)
-    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
-    ctx = jnp.asarray(rng.randn(b, 77, 96).astype(np.float32), jnp.bfloat16)
-    st = SpatialTransformer(
-        in_channels=c, n_heads=4, d_head=32, depth=1, context_dim=96,
-        dtype=jnp.bfloat16, quant=True,
-    )
-    with pltpu.force_tpu_interpret_mode():
-        params = st.init(jax.random.PRNGKey(0), x, ctx)["params"]
-        assert "kernel" in params["proj_out"]  # holder keeps the tree
-        q_struct = jax.eval_shape(st.init, jax.random.PRNGKey(0), x, ctx)["params"]
-        # unzero proj_out so the residual comparison is non-trivial
-        params = jax.tree.map(np.asarray, params)
-        params["proj_out"]["kernel"] = (
-            rng.randn(*params["proj_out"]["kernel"].shape).astype(np.float32) * 0.05
-        )
-        qp = quantize_params_like(q_struct, params)
-        out, mom = st.apply({"params": qp}, x, ctx, emit_moments=True)
-    assert mom is not None and len(mom) == 4
-    of = np.asarray(out, np.float64).reshape(b, -1, c)
-    np.testing.assert_allclose(np.asarray(mom[0]), of.sum(1), rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(mom[2]), of.min(1), rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(mom[3]), of.max(1), rtol=1e-3, atol=1e-4)
-
-
-@pytest.mark.slow
-def test_gn_silu_conv_cat2_with_moments_matches():
-    """cat2 consuming combined (channel-concat) upstream stats == cat2
-    computing its own per-part moments/amax."""
-    from leftrefill_tpu.ops.quant import gn_silu_conv3x3_int8_cat2
-
-    ks = jax.random.split(jax.random.PRNGKey(41), 6)
-    b, h, w, c1, c2, co = 1, 16, 32, 128, 128, 128
-    x1 = jax.random.normal(ks[0], (b, h, w, c1), jnp.float32).astype(jnp.bfloat16)
-    x2 = jax.random.normal(ks[1], (b, h, w, c2), jnp.float32).astype(jnp.bfloat16)
-    gamma = 1.0 + 0.1 * jax.random.normal(ks[2], (c1 + c2,), jnp.float32)
-    beta = 0.1 * jax.random.normal(ks[3], (c1 + c2,), jnp.float32)
-    wt = jax.random.normal(ks[4], (3, 3, c1 + c2, co), jnp.float32) * 0.05
-    wq, ws = quantize_weight(wt)
-    bias = 0.1 * jax.random.normal(ks[5], (co,), jnp.float32)
-
-    xf = np.concatenate(
-        [np.asarray(x1, np.float32), np.asarray(x2, np.float32)], axis=-1
-    )
-    mom = (
-        jnp.asarray(xf.sum(axis=(1, 2))),
-        jnp.asarray((xf * xf).sum(axis=(1, 2))),
-        jnp.asarray(xf.min(axis=(1, 2))),
-        jnp.asarray(xf.max(axis=(1, 2))),
-    )
-    with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(
-            gn_silu_conv3x3_int8_cat2(x1, x2, gamma, beta, wq, ws, bias), np.float32
-        )
-        with_m = np.asarray(
-            gn_silu_conv3x3_int8_cat2(
-                x1, x2, gamma, beta, wq, ws, bias, moments=mom
-            ),
-            np.float32,
-        )
-    rel = np.abs(with_m - base).max() / max(np.abs(base).max(), 1e-6)
-    assert rel < 0.02, rel
-
-
 @pytest.mark.slow
 def test_unet_int8_all_fusions_match_unfused(monkeypatch):
-    """Full tiny-UNet int8 forward with the whole fusion family ON
-    (split cats, LN/GN+quant prenorms, conv/proj epilogue stats + envelope
-    scales, fused residuals) == all fusions OFF, within quantization
-    rounding.  The integration safety net for the chained-stats design."""
+    """Full tiny-UNet int8 forward with both surviving fusion gates ON
+    (fused GN+SiLU+quant+conv ResBlock prologues, LN/GN+quant prenorms)
+    == both OFF, within quantization rounding.  The integration safety net
+    for the fused-kernel dispatch."""
     import leftrefill_tpu.ops.conv as conv_mod
     from leftrefill_tpu.models.unet import UNetModel
     from leftrefill_tpu.ops.quant import quantize_params_like
@@ -1034,9 +507,7 @@ def test_unet_int8_all_fusions_match_unfused(monkeypatch):
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 9), jnp.bfloat16)
     t = jnp.array([5], jnp.int32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 96), jnp.bfloat16)
-    flags = ("LEFTREFILL_SPLIT_CAT", "LEFTREFILL_FUSED_LNQ",
-             "LEFTREFILL_CONV_MOMENTS", "LEFTREFILL_FUSED_RESADD",
-             "LEFTREFILL_FUSED_FFRES", "LEFTREFILL_FUSED_RES")
+    flags = ("LEFTREFILL_FUSED_LNQ", "LEFTREFILL_FUSED_RES")
     with pltpu.force_tpu_interpret_mode():
         for f in flags:
             monkeypatch.setenv(f, "1")
@@ -1086,3 +557,44 @@ def test_multiview_block_int8_lnq_matches_unfused(monkeypatch):
         unfused = np.asarray(blk.apply({"params": qp}, x, ctx), np.float32)
     rel = np.abs(fused - unfused).max() / max(np.abs(unfused).max(), 1e-6)
     assert rel < 0.05, rel
+
+
+def test_dense_int8_res_mom_matches_unfused_and_stats():
+    """dense_int8_res_mom == dense_int8 + res, and its [B,4,N] epilogue
+    stats (Σ, Σ², min, max) match the written output exactly.  The kernel is
+    the SpatialTransformer proj_out site (attention.py:405-419); the stats
+    output is retained even though its downstream consumer chain
+    (LEFTREFILL_CONV_MOMENTS) was removed — see models/unet.py."""
+    from leftrefill_tpu.ops.quant import (
+        _plan_dense_rows,
+        dense_int8_res_mom,
+        quantize_activation_rowwise,
+    )
+
+    b, r, k, n = 2, 256, 128, 128
+    assert _plan_dense_rows(r, k, n) is not None
+    ks = jax.random.split(jax.random.PRNGKey(44), 4)
+    x = jax.random.normal(ks[0], (b, r, k), jnp.float32)
+    wt = jax.random.normal(ks[1], (k, n), jnp.float32) * 0.05
+    wq, ws = quantize_weight(wt)
+    bias = 0.1 * jax.random.normal(ks[2], (n,), jnp.float32)
+    res = jax.random.normal(ks[3], (b, r, n), jnp.bfloat16)
+
+    xq, sx = quantize_activation_rowwise(x.reshape(b * r, k))
+    xq, sx = xq.reshape(b, r, k), sx.reshape(b, r, 1)
+    with pltpu.force_tpu_interpret_mode():
+        out, mom = dense_int8_res_mom(xq, sx, wq, ws, bias, res)
+        base = dense_int8(
+            xq.reshape(b * r, k), sx.reshape(b * r, 1), wq, ws, bias,
+            out_dtype=jnp.float32,
+        ).reshape(b, r, n)
+    of = np.asarray(out, np.float32)
+    np.testing.assert_allclose(
+        of, np.asarray(base) + np.asarray(res, np.float32), atol=0.06, rtol=0.03
+    )
+    m = np.asarray(mom, np.float64)
+    of64 = of.astype(np.float64)
+    np.testing.assert_allclose(m[:, 0], of64.sum(1), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(m[:, 1], (of64 * of64).sum(1), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(m[:, 2], of64.min(1), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(m[:, 3], of64.max(1), rtol=1e-3, atol=1e-4)
