@@ -177,6 +177,15 @@ def main():
                 "value": round(canvases_per_sec, 4),
                 "unit": "canvases/sec/chip",
                 "vs_baseline": round(canvases_per_sec / target, 4),
+                # protocol disambiguation (ADVICE r4): "reference" = the
+                # repo's measured eval protocol (ddim@50 eta1 cfg2.5);
+                # anything else is a faster-solver serving config whose
+                # accuracy bound lives in scripts/*_quality.py + BASELINE.md
+                "protocol": (
+                    "reference_ddim50"
+                    if (sampler == "ddim" and steps == 50)
+                    else f"{sampler}@{steps}"
+                ),
             }
         )
     )

@@ -53,13 +53,24 @@ class LoraAdapterStore:
     ``keep``); None -> the base tree.  All merged trees share shapes/dtypes
     with the base, so a jitted pipeline accepts any of them without
     recompilation — adapter swap costs one merge (or a cache hit).
+
+    int8 serving (W8A8 UNet): int8 kernels cannot take additive LoRA merges,
+    so pass ``master_unet`` — the fp/bf16 UNet tree the base was quantized
+    from.  params_for then merges into the master and REQUANTIZES the result
+    to the base's int8 structure (merge -> ops.quant.quantize_params_like),
+    all inside one jitted call; the swap costs one merge+requant pass and the
+    merged tree still matches the quant pipeline's shapes/dtypes exactly.
     """
 
-    def __init__(self, base_params: Params, keep: int = 2):
+    def __init__(
+        self, base_params: Params, keep: int = 2, master_unet: Optional[Params] = None
+    ):
         self.base = base_params
         self.keep = keep
+        self.master_unet = master_unet
         self._adapters: dict[str, dict] = {}
         self._merged: "collections.OrderedDict[tuple, Params]" = collections.OrderedDict()
+        self._merge_fn = None  # lazily-built jitted merge(+requant)
 
     def add(self, name: str, lora: dict) -> None:
         self._adapters[name] = lora
@@ -79,11 +90,31 @@ class LoraAdapterStore:
         if key in self._merged:
             self._merged.move_to_end(key)
             return self._merged[key]
-        from leftrefill_tpu.models.lora import merge_lora
-
         merged = dict(self.base)
-        merged["unet"] = merge_lora(self.base["unet"], self._adapters[name], scale)
+        merged["unet"] = self._merge_unet(self._adapters[name], scale)
         self._merged[key] = merged
         while len(self._merged) > self.keep:
             self._merged.popitem(last=False)
         return merged
+
+    def _merge_unet(self, lora: dict, scale: float):
+        import jax
+        import jax.numpy as jnp
+
+        from leftrefill_tpu.models.lora import merge_lora
+
+        if self._merge_fn is None:
+            if self.master_unet is None:
+                fn = lambda master, lora_, s: merge_lora(master, lora_, s)
+            else:
+                from leftrefill_tpu.ops.quant import quantize_params_like
+
+                # the base int8 tree doubles as the quant structure
+                # (kernel + kernel_scale siblings mark the quantized sites)
+                q_struct = self.base["unet"]
+                fn = lambda master, lora_, s: quantize_params_like(
+                    q_struct, merge_lora(master, lora_, s)
+                )
+            self._merge_fn = jax.jit(fn)
+        master = self.master_unet if self.master_unet is not None else self.base["unet"]
+        return self._merge_fn(master, lora, jnp.float32(scale))

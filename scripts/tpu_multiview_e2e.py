@@ -14,7 +14,7 @@ from leftrefill_tpu.models.multiview import MultiViewUnetModel
 
 import os
 
-V = 2
+V = int(os.environ.get("MV_VIEWS", "2"))  # joint-attn views (reference view_num)
 QUANT = os.environ.get("MV_QUANT", "0") == "1"  # W8A8 int8 UNet variant
 STEPS = int(os.environ.get("MV_STEPS", "50"))
 SAMPLER = os.environ.get("MV_SAMPLER", "ddim")  # "dpm++2m": 20-step fast path
@@ -118,7 +118,7 @@ for i in range(3):
 dt = min(ts_)
 print(json.dumps({
     "metric": (
-        f"multiview_scenes_per_sec_2view_{STEPS}step"
+        f"multiview_scenes_per_sec_{V}view_{STEPS}step"
         f"{'_' + SAMPLER if SAMPLER != 'ddim' else ''}"
         f"{'_int8' if QUANT else ''}_cfg2.5"
     ),

@@ -31,7 +31,7 @@ enable_persistent_compilation_cache()
 from leftrefill_tpu.models.multiview import MultiViewUnetModel
 from leftrefill_tpu.ops.quant import quantize_params_like
 
-V = 2
+V = int(__import__("os").environ.get("MV_VIEWS", "2"))
 x = jax.random.normal(jax.random.PRNGKey(0), (V, 64, 128, 9), jnp.float32)
 ctx = jax.random.normal(jax.random.PRNGKey(1), (V, 77, 1024), jnp.float32) * 0.5
 

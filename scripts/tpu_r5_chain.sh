@@ -34,11 +34,51 @@ run_bench() {  # name, env assignments...
 guard; run_bench headline
 guard; run_bench ddim50 BENCH_SAMPLER=ddim BENCH_STEPS=50
 
+# headline retry: first attempt died on a remote-compile-server connection
+# drop (bench_logs_r5/bench_headline_r5.log) — infra flake, not a graph error
+guard; run_bench headline
+guard; run_bench headline_retry2
+
 guard
 echo "$(date -u +%H:%M:%S) solver_quality"
 python scripts/tpu_r5_solver_quality.py > /tmp/solver_quality_r5.log 2>&1
 echo "rc=$? $(tail -2 /tmp/solver_quality_r5.log | head -1)"
 cp /tmp/solver_quality_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
+
+
+# --- appended (lazy tail): VERDICT #6 + #7 cells ---
+
+# int8 LoRA serving: adapter swaps now merge->requantize over the fp master
+guard
+echo "$(date -u +%H:%M:%S) serving_int8_lora (b8)"
+BENCH_QUANT=1 python scripts/tpu_serving_bench.py > /tmp/serving_int8_r5.log 2>&1
+echo "rc=$? $(tail -2 /tmp/serving_int8_r5.log | head -1)"
+cp /tmp/serving_int8_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
+
+# V=4 multiview e2e (int8, ddim50 + dpm15) and its quality bound
+guard
+echo "$(date -u +%H:%M:%S) mv_v4 (int8 ddim50)"
+MV_VIEWS=4 MV_QUANT=1 python scripts/tpu_multiview_e2e.py > /tmp/mv_v4_r5.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_v4_r5.log | head -1)"
+cp /tmp/mv_v4_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
+
+guard
+echo "$(date -u +%H:%M:%S) mv_v4_dpm15"
+MV_VIEWS=4 MV_QUANT=1 MV_SAMPLER=dpm++2m MV_STEPS=15 python scripts/tpu_multiview_e2e.py > /tmp/mv_v4_dpm15_r5.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_v4_dpm15_r5.log | head -1)"
+cp /tmp/mv_v4_dpm15_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
+
+guard
+echo "$(date -u +%H:%M:%S) mv_v4_quality"
+MV_VIEWS=4 python scripts/tpu_r4_mv_quality.py > /tmp/mv_v4_quality_r5.log 2>&1
+echo "rc=$? $(tail -2 /tmp/mv_v4_quality_r5.log | head -1)"
+cp /tmp/mv_v4_quality_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
+
+guard
+echo "$(date -u +%H:%M:%S) profiler_probe"
+python scripts/tpu_r5_profiler_probe.py > /tmp/profiler_probe_r5.log 2>&1
+echo "rc=$? $(tail -2 /tmp/profiler_probe_r5.log | head -1)"
+cp /tmp/profiler_probe_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
 
 snap
 echo "$(date -u +%H:%M:%S) R5 CHAIN DONE"

@@ -65,3 +65,49 @@ def test_adapter_store_merge_and_cache():
     )
     with pytest.raises(KeyError):
         store.params_for("nope")
+
+
+def test_adapter_store_int8_requant():
+    """int8 serving path (round-5): with a quantized base + fp master, the
+    store merges into the master and requantizes — the returned tree keeps
+    the base's int8 structure and equals quantize(merge(master)) exactly."""
+    from leftrefill_tpu.ops.quant import quantize_params_like
+
+    rng = np.random.RandomState(0)
+    master = {
+        "blk": {"to_q": {"kernel": jnp.asarray(rng.randn(8, 8), jnp.float32)}},
+        "other": {"kernel": jnp.asarray(rng.randn(4, 4), jnp.float32)},
+    }
+    # quant structure: to_q is a W8A8 site (kernel + kernel_scale siblings)
+    q_struct = {
+        "blk": {"to_q": {"kernel": None, "kernel_scale": None}},
+        "other": {"kernel": None},
+    }
+    base_unet = quantize_params_like(q_struct, master)
+    assert base_unet["blk"]["to_q"]["kernel"].dtype == jnp.int8
+    base = {"unet": base_unet, "cond": {"special_embeddings": jnp.zeros((4, 8))}}
+
+    lora = init_lora(master, rank=2, key=jax.random.PRNGKey(0))
+    assert "blk/to_q/kernel" in lora, sorted(lora)  # non-vacuous merge
+    for site in lora.values():
+        site["up"] = jnp.ones_like(site["up"]) * 0.1
+
+    store = LoraAdapterStore(base, keep=2, master_unet=master)
+    store.add("a", lora)
+    pa = store.params_for("a")
+
+    expect = quantize_params_like(base_unet, merge_lora(master, lora, 1.0))
+    got = pa["unet"]["blk"]["to_q"]
+    assert got["kernel"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got["kernel"]), np.asarray(expect["blk"]["to_q"]["kernel"]))
+    np.testing.assert_allclose(
+        np.asarray(got["kernel_scale"]),
+        np.asarray(expect["blk"]["to_q"]["kernel_scale"]),
+        rtol=1e-6,
+    )
+    # non-LoRA site passes through unquantized and unchanged
+    np.testing.assert_allclose(
+        np.asarray(pa["unet"]["other"]["kernel"]), np.asarray(master["other"]["kernel"])
+    )
+    # same-structure guarantee: the jitted quant pipeline accepts the swap
+    assert jax.tree_util.tree_structure(pa["unet"]) == jax.tree_util.tree_structure(base["unet"])
