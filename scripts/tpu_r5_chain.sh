@@ -45,6 +45,13 @@ python scripts/tpu_r5_solver_quality.py > /tmp/solver_quality_r5.log 2>&1
 echo "rc=$? $(tail -2 /tmp/solver_quality_r5.log | head -1)"
 cp /tmp/solver_quality_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
 
+# VAE-conv coverage probe: can Pallas beat XLA at the decoder's big shapes?
+guard
+echo "$(date -u +%H:%M:%S) vaeconv_probe"
+python scripts/tpu_r5_vaeconv_probe.py > /tmp/vaeconv_probe_r5.log 2>&1
+echo "rc=$? $(tail -2 /tmp/vaeconv_probe_r5.log | head -1)"
+cp /tmp/vaeconv_probe_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
+
 
 # --- appended (lazy tail): VERDICT #6 + #7 cells ---
 
