@@ -52,6 +52,10 @@ python scripts/tpu_r5_vaeconv_probe.py > /tmp/vaeconv_probe_r5.log 2>&1
 echo "rc=$? $(tail -2 /tmp/vaeconv_probe_r5.log | head -1)"
 cp /tmp/vaeconv_probe_r5.log /root/repo/bench_logs_r5/ 2>/dev/null
 
+# e2e A/B of the gated VAE Pallas convs on the headline protocol (decode is
+# ~15% of a dpm15 canvas; epoch to beat = the headline cell above)
+guard; run_bench vaeconv LEFTREFILL_VAE_PALLAS_CONV=1
+
 
 # --- appended (lazy tail): VERDICT #6 + #7 cells ---
 

@@ -33,13 +33,12 @@ import jax.numpy as jnp
 
 print("backend:", jax.devices()[0].platform, flush=True)
 
-import leftrefill_tpu.ops.conv as convmod
-from leftrefill_tpu.ops.conv import _BF16_PLAN_KW, conv3x3_op, plan_conv_blocks
-
-# widen the plan menu for this probe only (widths down to the sublane min 8)
-WIDE_KW = dict(_BF16_PLAN_KW)
-WIDE_KW["widths"] = (256, 128, 64, 32, 16, 8)
-convmod._BF16_PLAN_KW = WIDE_KW  # module-local: _plan reads this dict
+from leftrefill_tpu.ops.conv import (
+    _WIDE_PLAN_KW,
+    _wide_plan,
+    conv3x3_apply_vae,
+    plan_conv_blocks,
+)
 
 
 def timed_chain(make_out, a0, iters=30):
@@ -65,20 +64,8 @@ def xla_conv(x, w, b):
     return out + b.astype(out.dtype)
 
 
-def pallas_slab(x, w, b, n_slabs):
-    """conv3x3_op over overlapping h-slabs; SAME-pad rows at interior seams
-    are garbage and dropped (the halo comes from the neighbour slab)."""
-    if n_slabs == 1:
-        return conv3x3_op(x, w, b)
-    h = x.shape[1]
-    hs = h // n_slabs
-    outs = []
-    for s in range(n_slabs):
-        a, e = s * hs, (s + 1) * hs
-        lo, hi = max(a - 1, 0), min(e + 1, h)
-        o = conv3x3_op(x[:, lo:hi], w, b)
-        outs.append(o[:, (a - lo):(a - lo) + hs])
-    return jnp.concatenate(outs, axis=1)
+# the SHIPPED dispatcher (ops/conv.conv3x3_apply_vae): wide plans + h-slabs
+pallas_slab = lambda x, w, b, n_slabs: conv3x3_apply_vae(x, w, b)
 
 
 key = jax.random.PRNGKey(0)
@@ -99,10 +86,9 @@ for name, h, wd, ci, co, n_slabs in shapes:
     x = jax.random.normal(ks[0], (1, h, wd, ci), jnp.bfloat16)
     w = jax.random.normal(ks[1], (3, 3, ci, co), jnp.bfloat16) * 0.02
     b = jax.random.normal(ks[2], (co,), jnp.float32) * 0.01
-    plan_h = h if n_slabs == 1 else h // n_slabs + 2
-    plan = plan_conv_blocks(plan_h, wd, ci, co, **WIDE_KW)
-    print(f"{name}: plan(h={plan_h})={plan} slabs={n_slabs}", flush=True)
-    if plan is None:
+    wp = _wide_plan(h, wd, ci, co)
+    print(f"{name}: wide_plan={wp}", flush=True)
+    if wp is None:
         continue
     # numerics first
     ox = jax.jit(lambda x: xla_conv(x, w, b))(x)
