@@ -399,6 +399,12 @@ def _wide_plan(h: int, w: int, ci: int, co: int):
     1-row halo on each interior edge."""
     if ci < 64 or co < 64:
         return None
+    # Measured per-shape gate (bench_logs_r5/vaeconv_probe_r5.log): Pallas
+    # wins or ties at every probed VAE shape EXCEPT 64x128 (the smallest
+    # spatial, XLA 0.239 vs Pallas 0.360 ms at 512ch) — small-spatial shapes
+    # stay on XLA.  The UNet path has its own planner and is unaffected.
+    if h * w < 128 * 256:
+        return None
     p = plan_conv_blocks(h, w, ci, co, **_WIDE_PLAN_KW)
     if p is not None:
         return 1, p
