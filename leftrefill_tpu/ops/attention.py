@@ -55,9 +55,15 @@ def _flash_qualifies(q: jax.Array, k: jax.Array) -> bool:
     d = q.shape[-1]
     nq, nk = q.shape[-2], k.shape[-2]
     # fp32 long-sequence K/V residents exceed scoped vmem (measured: 16.05M
-    # at nk=8192 even with 16-row q blocks) — fp32 fidelity runs take XLA
-    if q.dtype == jnp.float32 and nk >= 4096:
+    # at nk=8192 even with 16-row q blocks) — fp32 fidelity runs take XLA...
+    from leftrefill_tpu.ops.flash_attention import KV_RESIDENT_MAX
+
+    if q.dtype == jnp.float32 and 4096 <= nk <= KV_RESIDENT_MAX:
         return False
+    # ...EXCEPT beyond the resident budget (V=4 multiview, nk=32768), where
+    # the naive XLA path materializes an [nk, nk] fp32 score tensor (21.5GB
+    # at 32768 — HBM OOM, bench_logs_r5/mv_v4_quality_r5.log) and flash
+    # streams K/V in chunks instead (_flash_forward_kvchunk).
     return (
         on_tpu
         and d in (64, 128)

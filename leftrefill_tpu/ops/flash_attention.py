@@ -4,13 +4,16 @@ TPU-native replacement for the reference's xformers
 ``memory_efficient_attention`` CUDA kernel (attention.py:236), forward AND
 backward.  The LeftRefill self-attention shapes are bounded and lane-friendly:
 the 64x128 stitched latent gives sequences {8192, 2048, 512} at head_dim 64,
-and multi-view joint self-attention peaks at 4*4096 = 16384 tokens — small
-enough that each head's full K/V tile fits comfortably in VMEM.  The kernels
-therefore block only ONE sequence dimension and keep the other operand fully
-resident (its BlockSpec index is constant in the blocked coordinate, so Mosaic
-does not re-DMA it), computing an exact fp32 softmax per block.  This is the
+and multi-view joint self-attention reaches V*8192 tokens (V full canvases
+joined; multiview_attention.py:448, concat_target=False as shipped).  Up to
+Nk=16384 each head's full K/V tile fits comfortably in VMEM, so the kernels
+block only ONE sequence dimension and keep the other operand fully resident
+(its BlockSpec index is constant in the blocked coordinate, so Mosaic does
+not re-DMA it), computing an exact fp32 softmax per block.  This is the
 fastest shape for this size class: no online-softmax rescale passes, one MXU
-matmul pair per block.
+matmul pair per block.  Beyond the resident budget (V=4: Nk=32768) K/V are
+streamed in chunks over a third grid axis with VMEM-scratch accumulation —
+see ``_flash_kvchunk_kernel``.
 
 softmax guard: the usual row-max shift costs two extra VPU passes over the
 [blk, N] tile (measured 42% of forward kernel time at N=8192).
@@ -127,6 +130,43 @@ def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
 # scratch; every block stays small.
 DKV_Q_CHUNK = 512
 
+# Largest Nk kept fully VMEM-resident (the measured r2-r4 plans: bf16 K+V at
+# 16384 is 2x2MB, double-buffered 8MB, fits beside the score tile).  Beyond
+# it — the V=4 multiview joint self-attention is 4*8192 = 32768 tokens
+# (multiview_attention.py:448 concat_target=False joins every view's full
+# 64x128 canvas) — resident K/V alone is 16M+ and the r5 mv_v4 cells failed
+# AOT at 32.05M scoped vmem.  Those shapes stream K/V in chunks instead: a
+# third grid axis with o/l accumulated in VMEM scratch.  The clamp-guard
+# softmax needs NO online rescale for this (exp(min(s,75)) is
+# chunk-independent and the row sum is additive); safe mode carries the
+# classic running-max rescale.
+KV_RESIDENT_MAX = 16384
+KV_CHUNK = 1024  # small on purpose: see _pick_block_kvchunk (traffic math)
+
+
+def _kv_chunk_for(nk: int) -> int | None:
+    """None = keep K/V fully resident; else the streaming chunk size."""
+    if nk <= KV_RESIDENT_MAX:
+        return None
+    c = KV_CHUNK
+    while nk % c:
+        c //= 2
+    return c
+
+
+def _pick_block_kvchunk(nq: int, kv_chunk: int) -> int:
+    """Streaming-path q block: K/V DMA traffic scales as (nq/blk_q)*nk — a
+    small q block re-streams ALL of K/V once per block.  Measured at
+    blk128/chunk8192 (b*h=10, N=32768): 47.1 TF/s, ~21GB of K/V DMA per ds1
+    call (bench_logs_r5/kvchunk_smoke_r5b.log) vs the ~80-97 TF/s resident
+    kernel.  So maximize blk_q and shrink the chunk instead — the score
+    tile (blk_q x kv_chunk fp32) stays 4MB, the K=64 MXU cycles are
+    blk-independent (r5 headpack probe), and the K/V traffic drops 8x."""
+    blk = 1024
+    while nq % blk:
+        blk //= 2
+    return max(blk, 16)
+
 
 # ---------------------------------------------------------------------------
 # forward
@@ -173,6 +213,111 @@ def _flash_kernel(
     l_ref[0] = lse  # [blk_q, 1]
 
 
+def _flash_kvchunk_kernel(
+    q_ref, k_ref, v_ref, o_ref, l_ref, o_acc, l_acc, m_acc,
+    *, scale: float, safe: bool, exp2: bool
+):
+    """Streaming-K/V forward for Nk beyond the resident budget (V=4
+    multiview joint attention, N=32768).  Grid axis 2 walks k chunks; o and
+    the softmax row sum accumulate in fp32 VMEM scratch and normalize once
+    at the last chunk.  Non-safe modes need no inter-chunk rescale: the
+    clamp guard makes every partial exp exact (see module docstring)."""
+    c = pl.program_id(2)
+    log2dom = exp2 and not safe
+
+    @pl.when(c == 0)
+    def _zero():
+        o_acc[...] = jnp.zeros_like(o_acc)
+        l_acc[...] = jnp.zeros_like(l_acc)
+        m_acc[...] = jnp.full_like(m_acc, -jnp.inf)
+
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E if log2dom else scale)
+    k = k_ref[0]  # [kv_chunk, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if safe:  # online softmax: running row max with rescale (debug mode)
+        m_new = jnp.maximum(m_acc[...], jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_acc[...] - m_new)  # first chunk: exp(-inf - m) = 0
+        p = jnp.exp(s - m_new)
+        l_acc[...] = l_acc[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        o_acc[...] = o_acc[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_acc[...] = m_new
+    else:
+        if log2dom:
+            p = jnp.exp2(jnp.minimum(s, CLAMP * LOG2E))
+        else:
+            p = jnp.exp(jnp.minimum(s, CLAMP))
+        l_acc[...] += jnp.sum(p, axis=-1, keepdims=True)
+        o_acc[...] += jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(c == pl.num_programs(2) - 1)
+    def _write():
+        l = jnp.maximum(l_acc[...], jnp.finfo(jnp.float32).tiny)
+        o_ref[0] = (o_acc[...] / l).astype(o_ref.dtype)
+        lse = jnp.log(l)
+        if safe:
+            lse = lse + m_acc[...]
+        l_ref[0] = lse
+
+
+def _flash_forward_kvchunk(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    kv_chunk: int, blk_cap: int | None,
+) -> tuple[jax.Array, jax.Array]:
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    del blk_cap  # resident-plan cap: the streaming plan is ~8M scoped vmem
+    blk_q = _pick_block_kvchunk(nq, kv_chunk)
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+
+    grid = (b * h, nq // blk_q, nk // kv_chunk)
+    o, l = pl.pallas_call(
+        functools.partial(
+            _flash_kvchunk_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_chunk, d), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_chunk, d), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, 1), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, d), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + b * h * nq * d) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(qf, kf, vf)
+    return o.reshape(b, h, nq, d), l
+
+
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float, blk_cap: int | None = None
 ) -> tuple[jax.Array, jax.Array]:
@@ -181,6 +326,9 @@ def _flash_forward(
     divide (8,128) or equal the array dims, which (blk_q, 1) satisfies."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    kv_chunk = _kv_chunk_for(nk)
+    if kv_chunk is not None:
+        return _flash_forward_kvchunk(q, k, v, scale, kv_chunk, blk_cap)
     # The 2x (blk256) forward block has a 16.12M scoped-vmem footprint — over
     # the 16M limit on paper, but Mosaic shaves it under the measured-good
     # conditions (b*h <= 20: the b1/b2 CFG inference graphs, +2 TF/s at ds1).
@@ -262,6 +410,56 @@ def _flash_bwd_dq_kernel(
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
+def _flash_bwd_dq_chunk_kernel(
+    q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref, dq_acc,
+    *, scale, safe, exp2
+):
+    """Streaming-K/V dq for Nk beyond the resident budget.  Exact per chunk
+    in EVERY mode: p = exp(s' - lse) uses the saved logsumexp (which already
+    contains the row max in safe mode), so chunks are independent and dq is
+    the plain sum over them."""
+    c = pl.program_id(2)
+    log2dom = exp2 and not safe
+
+    @pl.when(c == 0)
+    def _zero():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E if log2dom else scale)
+    k = k_ref[0]  # [kv_chunk, D]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = l_ref[0]
+    dcap = dd_ref[0]
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    clamp = CLAMP * LOG2E if log2dom else CLAMP
+    if log2dom:
+        p = jnp.exp2(jnp.minimum(s, clamp) - lse * LOG2E)
+    else:
+        p = jnp.exp((s if safe else jnp.minimum(s, CLAMP)) - lse)
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dcap)
+    if not safe:
+        ds = jnp.where(s <= clamp, ds, 0.0)
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == pl.num_programs(2) - 1)
+    def _write():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
 def _flash_bwd_dkv_kernel(
     k_ref, v_ref, q_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, scale, safe, exp2
@@ -334,26 +532,49 @@ def _flash_backward(q, k, v, o, l, g, scale):
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     ).reshape(b * h, nq, 1)
 
-    blk_q = _pick_block_bwd(nk, nq)
-    dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
-        grid=(b * h, nq // blk_q),
-        in_specs=[
-            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * b * h * nq * nk * d,
-            bytes_accessed=(qf.size + kf.size + vf.size + 2 * gf.size) * q.dtype.itemsize,
-            transcendentals=b * h * nq * nk,
-        ),
-    )(qf, kf, vf, gf, lf, df)
+    kv_chunk = _kv_chunk_for(nk)
+    cost_dq = pl.CostEstimate(
+        flops=6 * b * h * nq * nk * d,
+        bytes_accessed=(qf.size + kf.size + vf.size + 2 * gf.size) * q.dtype.itemsize,
+        transcendentals=b * h * nq * nk,
+    )
+    if kv_chunk is not None:
+        blk_q = _pick_block_bwd(kv_chunk, nq)
+        dq = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_dq_chunk_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            grid=(b * h, nq // blk_q, nk // kv_chunk),
+            in_specs=[
+                pl.BlockSpec((1, blk_q, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_chunk, d), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_chunk, d), lambda i, j, c: (i, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, 1), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, 1), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j, c: (i, j, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+            cost_estimate=cost_dq,
+        )(qf, kf, vf, gf, lf, df)
+    else:
+        blk_q = _pick_block_bwd(nk, nq)
+        dq = pl.pallas_call(
+            functools.partial(_flash_bwd_dq_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2),
+            out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            grid=(b * h, nq // blk_q),
+            in_specs=[
+                pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            cost_estimate=cost_dq,
+        )(qf, kf, vf, gf, lf, df)
 
     blk_k = min(DEFAULT_BLOCK_Q, nk)
     # chunk must DIVIDE nq or the dkv grid floor-division silently drops the
