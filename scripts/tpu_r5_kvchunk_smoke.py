@@ -15,7 +15,9 @@ from leftrefill_tpu.ops.flash_attention import _flash_forward, _kv_chunk_for
 
 BH, N, D = 10, 32768, 64
 SCALE = D**-0.5
-assert _kv_chunk_for(N) == 8192
+# traffic-optimal sizing (blk_q=1024 / chunk=1024) — see _pick_block_kvchunk;
+# the original blk128/chunk8192 measured 47.1 TF/s (kvchunk_smoke_r5b.log)
+assert _kv_chunk_for(N) == 1024
 
 ks = jax.random.split(jax.random.PRNGKey(0), 3)
 q = (jax.random.normal(ks[0], (1, BH, N, D), jnp.float32) * 1.0).astype(jnp.bfloat16)
