@@ -34,37 +34,11 @@ Dtype = Any
 PAD1 = ((1, 1), (1, 1))
 
 
-def _vae_pallas_conv_enabled() -> bool:
-    """Opt-in: route the VAE's stride-1 3x3 convs through the big-spatial
-    Pallas dispatcher (probe: scripts/tpu_r5_vaeconv_probe.py).  Read at
-    trace time (inside _conv); default OFF until the e2e A/B wins.  The
-    param tree is identical either way (kernel HWIO + bias, nn.Conv names)."""
-    import os
-
-    return os.environ.get("LEFTREFILL_VAE_PALLAS_CONV", "0") != "0"
-
-
-class _PallasConv3x3(nn.Module):
-    """nn.Conv-compatible (kernel HWIO + bias) 3x3 SAME conv routed through
-    the big-spatial Pallas dispatcher (ops/conv.conv3x3_apply_vae: width-8
-    plans + h-slab decomposition for the VAE's 256x512+ shapes; XLA fallback
-    everywhere else).  Gated by LEFTREFILL_VAE_PALLAS_CONV."""
-
-    features: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        from leftrefill_tpu.ops.conv import conv3x3_apply_vae
-
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.features), jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return conv3x3_apply_vae(
-            x.astype(self.dtype), kernel.astype(self.dtype), bias
-        )
+# A gated Pallas route for the VAE's stride-1 3x3 convs (width-8 plans +
+# h-slab decomposition, LEFTREFILL_VAE_PALLAS_CONV) was built in r5 and
+# REMOVED: it won the isolated kernel probe at 4/6 decoder shapes but lost
+# end-to-end clean (-6.8%, bench_logs_r5/bench_vaeconv_clean_r5b.log) —
+# recorded negative in ops/conv.py; the VAE convs stay on nn.Conv/XLA.
 
 
 def _conv(
@@ -80,8 +54,6 @@ def _conv(
         if kernel == 3:
             return Conv3x3(features=features, dtype=dtype, name=name, quant=True)
         return QConv1x1(features=features, dtype=dtype, name=name)
-    if kernel == 3 and strides == 1 and _vae_pallas_conv_enabled():
-        return _PallasConv3x3(features=features, dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(kernel, kernel),

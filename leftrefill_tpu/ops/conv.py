@@ -318,26 +318,6 @@ def _bwd(res, g):
 conv3x3_op.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _conv3x3_pallas_planned(x: jax.Array, w: jax.Array, bias: jax.Array, plan) -> jax.Array:
-    """conv3x3_op with an explicit (wide-menu/slab) block plan; same
-    XLA-conv VJP.  ``plan`` is a static ((blk_w, blk_ci, blk_co), ci_eff)."""
-    return _conv3x3_pallas(x, w, bias, plan=plan)
-
-
-def _fwd_planned(x, w, bias, plan):
-    return _conv3x3_pallas(x, w, bias, plan=plan), (x, w, bias)
-
-
-def _bwd_planned(plan, res, g):
-    x, w, bias = res
-    _, vjp = jax.vjp(_xla_conv, x, w, bias)
-    return vjp(g)
-
-
-_conv3x3_pallas_planned.defvjp(_fwd_planned, _bwd_planned)
-
-
 # A fused-residual epilogue variant (conv3x3_res_op, LEFTREFILL_FUSED_RESADD)
 # was built and measured end-to-end NEGATIVE (-1.3%) on the r4 six-flag
 # bisect (bench_logs_r4) — removed in r5; ResBlock adds its skip in XLA.
@@ -376,70 +356,11 @@ def conv3x3_apply(
 
 
 # ---------------------------------------------------------------------------
-# big-spatial (VAE) coverage: width-8 plans + h-slab decomposition
-#
-# The UNet planner (_BF16_PLAN_KW) keeps full H resident and stops at
-# width-16 blocks, which covers every latent-size shape but nothing the VAE
-# encoder/decoder runs at 256x512+.  Two dispatch-level extensions (the
-# kernel itself is unchanged):
-#   - a width-8 menu (8 = the sublane minimum) gives direct plans at 256x512
-#   - 512-row shapes split into overlapping h-slabs, each slab a separate
-#     conv3x3_op call whose SAME-pad seam rows are dropped (the halo comes
-#     from the neighbouring slab's rows)
-# Probe: scripts/tpu_r5_vaeconv_probe.py; consumer: the VAE 3x3 convs
-# (models/autoencoder._conv, gated LEFTREFILL_VAE_PALLAS_CONV).
-
-_WIDE_PLAN_KW = dict(_BF16_PLAN_KW, widths=(256, 128, 64, 32, 16, 8))
-_SLAB_MIN_H = 256  # only slab shapes at least this tall (2 slabs suffice)
-
-
-def _wide_plan(h: int, w: int, ci: int, co: int):
-    """(n_slabs, plan) for the wide menu, or None.  n_slabs == 1 means a
-    direct full-height call; otherwise each slab is h/n_slabs rows plus a
-    1-row halo on each interior edge."""
-    if ci < 64 or co < 64:
-        return None
-    # Measured per-shape gate (bench_logs_r5/vaeconv_probe_r5.log): Pallas
-    # wins or ties at every probed VAE shape EXCEPT 64x128 (the smallest
-    # spatial, XLA 0.239 vs Pallas 0.360 ms at 512ch) — small-spatial shapes
-    # stay on XLA.  The UNet path has its own planner and is unaffected.
-    if h * w < 128 * 256:
-        return None
-    p = plan_conv_blocks(h, w, ci, co, **_WIDE_PLAN_KW)
-    if p is not None:
-        return 1, p
-    if h >= _SLAB_MIN_H:
-        for n in (2, 4):
-            if h % n:
-                continue
-            p = plan_conv_blocks(h // n + 2, w, ci, co, **_WIDE_PLAN_KW)
-            if p is not None:
-                return n, p
-    return None
-
-
-def conv3x3_vae_qualifies(h: int, w: int, ci: int, co: int) -> bool:
-    return on_tpu() and _wide_plan(h, w, ci, co) is not None
-
-
-def conv3x3_apply_vae(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
-    """VAE-shape dispatcher: Pallas via wide/slab plans where one exists,
-    else the XLA conv.  bf16 only (fp32 falls back, like conv3x3_apply)."""
-    b, h, wd, ci = x.shape
-    co = w.shape[-1]
-    if x.dtype != jnp.bfloat16:
-        return _xla_conv(x, w, bias)
-    wp = _wide_plan(h, wd, ci, co)
-    if wp is None:
-        return _xla_conv(x, w, bias)
-    n_slabs, plan = wp
-    if n_slabs == 1:
-        return _conv3x3_pallas_planned(x, w, bias, plan)
-    hs = h // n_slabs
-    outs = []
-    for s in range(n_slabs):
-        a, e = s * hs, (s + 1) * hs
-        lo, hi = max(a - 1, 0), min(e + 1, h)
-        o = _conv3x3_pallas_planned(x[:, lo:hi], w, bias, plan)
-        outs.append(o[:, (a - lo):(a - lo) + hs])
-    return jnp.concatenate(outs, axis=1)
+# big-spatial (VAE) coverage: REMOVED (r5, measured negative).  Width-8 plans
+# at 256x512 + overlapping h-slab decomposition at 512x1024 won the isolated
+# kernel probe at 4/6 decoder shapes (up to 2.5x, vaeconv_probe_r5.log) but
+# LOST end-to-end twice: -5.5% contended and -6.8% clean
+# (bench_logs_r5/bench_vaeconv_clean_r5b.log: 1.9707 vs the 2.1134 epoch) —
+# the same kernel-wins-eaten-by-lost-XLA-fusion pattern as the r4 fusion-gate
+# bisect.  The VAE's stride-1 3x3 convs stay on nn.Conv/XLA.  Probe script
+# kept: scripts/tpu_r5_vaeconv_probe.py.

@@ -112,52 +112,3 @@ def test_conv3x3_module_matches_nn_conv():
     out = m.apply({"params": params}, x)
     ref = ref_conv.apply({"params": params}, x)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
-
-
-# ---------------------------------------------------------------------------
-# big-spatial (VAE) coverage: wide plans + h-slab decomposition (round 5)
-
-
-def test_wide_plan_covers_vae_shapes():
-    """Every stride-1 3x3 conv the f8 VAE runs at the 512x1024 canvas must
-    have a wide/slab plan (model.py:453-654 decoder/encoder shapes), except
-    the <64-channel stem/RGB convs which stay on XLA."""
-    from leftrefill_tpu.ops.conv import _wide_plan
-
-    covered = [
-        (128, 256, 512, 512),
-        (256, 512, 512, 512), (256, 512, 512, 256), (256, 512, 256, 256),
-        (512, 1024, 256, 256), (512, 1024, 256, 128), (512, 1024, 128, 128),
-    ]
-    for h, w, ci, co in covered:
-        assert _wide_plan(h, w, ci, co) is not None, (h, w, ci, co)
-    # slab plans engage only at the tall shapes
-    n, _ = _wide_plan(512, 1024, 128, 128)
-    assert n > 1
-    # tiny-channel convs are not claimed
-    assert _wide_plan(512, 1024, 3, 128) is None
-    assert _wide_plan(512, 1024, 128, 3) is None
-    # small-spatial shapes stay on XLA (measured loss, vaeconv_probe_r5.log)
-    assert _wide_plan(64, 128, 512, 512) is None
-
-
-def test_slab_decomposition_matches_full_conv(monkeypatch):
-    """The h-slab seam indexing must reconstruct the exact SAME-pad conv:
-    with the inner pallas call replaced by the XLA conv, the slab composite
-    must equal one full-array conv bitwise."""
-    import leftrefill_tpu.ops.conv as convmod
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, 64, 32, 64), jnp.bfloat16)
-    w = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.bfloat16)
-    b = jnp.asarray(rng.randn(64) * 0.01, jnp.float32)
-
-    full = convmod._xla_conv(x, w, b)
-    for n_slabs in (2, 4):
-        monkeypatch.setattr(convmod, "_wide_plan", lambda *a: (n_slabs, None))
-        monkeypatch.setattr(
-            convmod, "_conv3x3_pallas_planned",
-            lambda x_, w_, b_, plan: convmod._xla_conv(x_, w_, b_),
-        )
-        out = convmod.conv3x3_apply_vae(x, w, b)
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(full)), n_slabs
