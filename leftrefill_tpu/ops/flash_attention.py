@@ -159,10 +159,14 @@ def _pick_block_kvchunk(nq: int, kv_chunk: int) -> int:
     small q block re-streams ALL of K/V once per block.  Measured at
     blk128/chunk8192 (b*h=10, N=32768): 47.1 TF/s, ~21GB of K/V DMA per ds1
     call (bench_logs_r5/kvchunk_smoke_r5b.log) vs the ~80-97 TF/s resident
-    kernel.  So maximize blk_q and shrink the chunk instead — the score
-    tile (blk_q x kv_chunk fp32) stays 4MB, the K=64 MXU cycles are
-    blk-independent (r5 headpack probe), and the K/V traffic drops 8x."""
-    blk = 1024
+    kernel.  So maximize blk_q and shrink the chunk instead — the K=64 MXU
+    cycles are blk-independent (r5 headpack probe) and the K/V traffic
+    drops with blk_q.  Sizing sweep at the V=4 shape (b*h=10, N=32768,
+    bench_logs_r5/kvchunk_sweep_r5c.log): (1024,1024) 86.4 TF/s,
+    (512,2048) 86.4, (1024,2048) 89.4, **(2048,1024) 89.5** — the 8MB
+    fp32 score tile clears scoped vmem, and blk_q=2048 also halves the
+    (already-hidden) K/V re-streaming, so it wins the tie."""
+    blk = 2048
     while nq % blk:
         blk //= 2
     return max(blk, 16)

@@ -263,3 +263,18 @@ def test_flash_kvchunk_matches_resident_path(monkeypatch):
         o_chk, l_chk = fa._flash_forward(q, k, v, scale)
     assert np.abs(np.asarray(o_chk) - np.asarray(o_res)).max() < 1e-6
     assert np.abs(np.asarray(l_chk) - np.asarray(l_res)).max() < 1e-5
+
+
+def test_kvchunk_sizing_pins():
+    """Pin the measured-optimal streaming-path sizing (kvchunk_sweep_r5c.log:
+    blk_q=2048/chunk=1024 = 89.5 TF/s at the V=4 shape; 1024/1024 = 86.4).
+    A silent change here is a perf regression the e2e cells would hide."""
+    from leftrefill_tpu.ops import flash_attention as fa
+
+    assert fa._kv_chunk_for(8192) is None  # 1-ref ds1: resident
+    assert fa._kv_chunk_for(16384) is None  # V=2 multiview: resident
+    assert fa._kv_chunk_for(32768) == 1024  # V=4 multiview: streaming
+    assert fa._pick_block_kvchunk(32768, 1024) == 2048
+    # non-power-of-two nq (V=3: 24576 = 2048*12) still gets the full block
+    assert fa._kv_chunk_for(24576) == 1024
+    assert fa._pick_block_kvchunk(24576, 1024) == 2048
