@@ -339,6 +339,13 @@ def _flash_forward(
     # At b*h = 40 (batch-4 CFG) the same kernel fails AOT by 120K
     # (bench_logs_r4/bench_b4_r4.log), exactly like the rematted train graph
     # did — so larger batches keep the always-compiling blk128 sizing.
+    # Kept as a measured constant DELIBERATELY (r4 advisor asked for a
+    # byte-estimate-derived cap): the static estimate rejects blk256 in
+    # every case, so deriving the cap from it would forfeit the measured
+    # +2 TF/s at b1/b2 — the constant is the empirical boundary of a Mosaic
+    # allocation behavior no formula here predicts.  The other over-VMEM
+    # axis the advisor flagged (nk-driven) is gone: nk > KV_RESIDENT_MAX
+    # routes to the streaming path above before this sizing is consulted.
     eff_cap = blk_cap if b * h <= 20 else min(blk_cap or DEFAULT_BLOCK_Q, DEFAULT_BLOCK_Q)
     blk_q = _pick_block(nk, nq, q.dtype, cap=eff_cap)
 
