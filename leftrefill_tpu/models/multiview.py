@@ -16,8 +16,8 @@ batch axis into the sequence axis so all views jointly self-attend:
 then rearranged back before the per-view cross-attention.  ``view_num`` is
 static config (XLA-friendly); the joint sequence in the shipped
 concat_target=False mode is v*8192 tokens (up to 32768 at v=4), which the
-Pallas flash kernel handles on one chip — fully-resident K/V to 16384,
-streaming kv chunks beyond (ops/flash_attention.py).
+Pallas flash kernel handles on one chip — fully-resident K/V to 8192,
+streaming kv chunks beyond (ops/flash_attention.py KV_RESIDENT_MAX).
 
 TPU notes: all rearranges are pure reshapes/concats with static shapes; the
 concat_target scatter is a static-slice concat rather than an in-place write.

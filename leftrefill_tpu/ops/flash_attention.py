@@ -130,17 +130,19 @@ def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
 # scratch; every block stays small.
 DKV_Q_CHUNK = 512
 
-# Largest Nk kept fully VMEM-resident (the measured r2-r4 plans: bf16 K+V at
-# 16384 is 2x2MB, double-buffered 8MB, fits beside the score tile).  Beyond
-# it — the V=4 multiview joint self-attention is 4*8192 = 32768 tokens
-# (multiview_attention.py:448 concat_target=False joins every view's full
-# 64x128 canvas) — resident K/V alone is 16M+ and the r5 mv_v4 cells failed
-# AOT at 32.05M scoped vmem.  Those shapes stream K/V in chunks instead: a
-# third grid axis with o/l accumulated in VMEM scratch.  The clamp-guard
+# Largest Nk kept fully VMEM-resident.  Beyond it, K/V stream in chunks via
+# a third grid axis with o/l accumulated in VMEM scratch; the clamp-guard
 # softmax needs NO online rescale for this (exp(min(s,75)) is
 # chunk-independent and the row sum is additive); safe mode carries the
-# classic running-max rescale.
-KV_RESIDENT_MAX = 16384
+# classic running-max rescale.  The boundary is 8192 (the 1-ref ds1 shape,
+# 96.8 TF/s resident) — NOT 16384: the blk64 resident plan at nk=16384
+# (V=2 multiview joint attention) is 16.06M scoped vmem on paper, 64K OVER
+# the limit; it happened to compile inside the r4 e2e graphs but fails AOT
+# standalone (bench_logs_r5/kvchunk16k_ab_r5c.log), while the streaming
+# kernel measures 79.6 TF/s at that shape.  V=4 (32768 tokens,
+# multiview_attention.py:448 concat_target=False) failed AOT resident at
+# 32.05M and streams at 89.4 TF/s.
+KV_RESIDENT_MAX = 8192
 KV_CHUNK = 1024  # small on purpose: see _pick_block_kvchunk (traffic math)
 
 

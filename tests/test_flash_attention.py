@@ -271,8 +271,11 @@ def test_kvchunk_sizing_pins():
     A silent change here is a perf regression the e2e cells would hide."""
     from leftrefill_tpu.ops import flash_attention as fa
 
-    assert fa._kv_chunk_for(8192) is None  # 1-ref ds1: resident
-    assert fa._kv_chunk_for(16384) is None  # V=2 multiview: resident
+    assert fa._kv_chunk_for(8192) is None  # 1-ref ds1: resident (96.8 TF/s)
+    # V=2 multiview (nk=16384) STREAMS: the blk64 resident plan is 64K over
+    # the scoped-vmem limit on paper and fails AOT standalone
+    # (kvchunk16k_ab_r5c.log; streaming measures 79.6 TF/s there)
+    assert fa._kv_chunk_for(16384) == 1024
     assert fa._kv_chunk_for(32768) == 1024  # V=4 multiview: streaming
     assert fa._pick_block_kvchunk(32768, 1024) == 2048
     # non-power-of-two nq (V=3: 24576 = 2048*12) still gets the full block
