@@ -226,10 +226,10 @@ def _plan(h: int, w: int, ci: int, co: int) -> Optional[tuple[tuple[int, int, in
     return plan_conv_blocks(h, w, ci, co, **_BF16_PLAN_KW)
 
 
-def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array, plan=None) -> jax.Array:
+def _conv3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
     b, h, wd, ci = x.shape
     co = w.shape[-1]
-    plan = plan if plan is not None else _plan(h, wd, ci, co)
+    plan = _plan(h, wd, ci, co)
     assert plan is not None, "caller must check conv3x3_qualifies"
     (blk_w, blk_ci, blk_co), ci_eff = plan
 
@@ -362,5 +362,7 @@ def conv3x3_apply(
 # LOST end-to-end twice: -5.5% contended and -6.8% clean
 # (bench_logs_r5/bench_vaeconv_clean_r5b.log: 1.9707 vs the 2.1134 epoch) —
 # the same kernel-wins-eaten-by-lost-XLA-fusion pattern as the r4 fusion-gate
-# bisect.  The VAE's stride-1 3x3 convs stay on nn.Conv/XLA.  Probe script
-# kept: scripts/tpu_r5_vaeconv_probe.py.
+# bisect.  The VAE's stride-1 3x3 convs stay on nn.Conv/XLA.  The probe
+# script (scripts/tpu_r5_vaeconv_probe.py) is stamped obsolete — it exits
+# with a pointer here; restore the deleted dispatcher from git history to
+# re-run the measurement.

@@ -88,15 +88,15 @@ def _pick_block(
     2x block's 16.12M scoped-vmem footprint compiles standalone but exceeds
     the 16M limit by 120K inside the rematted train graph (measured: the 865M
     B=2 train step failed AOT at blk256, ran at blk128 in r2)."""
-    if n_other <= 8192:
-        # 256 measured +2 TF/s over 128 at the ds1 shape (N=8192, D=64):
-        # 78 -> 80 TF/s, same rel_err (scripts/tpu_r3_attnprobe2.py); the
-        # 8MB fp32 score tile still fits with the resident bf16 K/V.
-        blk = 2 * DEFAULT_BLOCK_Q
-    elif n_other <= 16384:
-        blk = DEFAULT_BLOCK_Q // 2
-    else:
-        blk = DEFAULT_BLOCK_Q // 4
+    # only the resident path consults this, so n_other <= KV_RESIDENT_MAX
+    # (= 8192) always holds — larger nk streams K/V via _kv_chunk_for; the
+    # old blk 64/32 branches for resident nk up to 32768 were deleted with
+    # that change (their plans were over scoped vmem anyway, r5c A/B logs).
+    assert n_other <= KV_RESIDENT_MAX, n_other
+    # 256 measured +2 TF/s over 128 at the ds1 shape (N=8192, D=64):
+    # 78 -> 80 TF/s, same rel_err (scripts/tpu_r3_attnprobe2.py); the
+    # 8MB fp32 score tile still fits with the resident bf16 K/V.
+    blk = 2 * DEFAULT_BLOCK_Q
     if dtype == jnp.float32 and n_other >= 4096:
         # fp32 keeps the r2 sizing (an f32 plan at 2x blew scoped vmem)
         blk = max(min(blk, DEFAULT_BLOCK_Q) // 8, 16)
@@ -121,6 +121,20 @@ def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
     else:
         blk = 32
     return min(blk, n_blocked)
+
+
+def _pick_block_bwd_chunk(nq: int) -> int:
+    """STREAMING-dq block size: the four fp32 tiles are [blk_q, kv_chunk]
+    (kv_chunk=1024), not [blk_q, nk], so blk_q can be far larger than the
+    resident picker's 32-128 — and must be, for the forward's traffic math
+    (K/V re-streams once per q block).  blk_q=512 puts the four tiles at
+    8MB; 128 (the resident sizing the chunked path first shipped with)
+    re-streams 4x more K/V."""
+    blk = 512
+    while nq % blk:
+        blk //= 2
+    assert nq % blk == 0 and blk >= 128, (nq, blk)
+    return blk
 
 
 # dkv kernel: the probability tiles are [q_chunk, blk_k] with blk_k in the
@@ -156,7 +170,7 @@ def _kv_chunk_for(nk: int) -> int | None:
     return c
 
 
-def _pick_block_kvchunk(nq: int, kv_chunk: int) -> int:
+def _pick_block_kvchunk(nq: int) -> int:
     """Streaming-path q block: K/V DMA traffic scales as (nq/blk_q)*nk — a
     small q block re-streams ALL of K/V once per block.  Measured at
     blk128/chunk8192 (b*h=10, N=32768): 47.1 TF/s, ~21GB of K/V DMA per ds1
@@ -171,7 +185,10 @@ def _pick_block_kvchunk(nq: int, kv_chunk: int) -> int:
     blk = 2048
     while nq % blk:
         blk //= 2
-    return max(blk, 16)
+    # the dispatcher guarantees nq % 128 == 0, so the loop always lands on a
+    # divisor >= 128; a non-divisor block would silently drop tail q rows
+    assert nq % blk == 0 and blk >= 128, (nq, blk)
+    return blk
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +302,7 @@ def _flash_forward_kvchunk(
     b, h, nq, d = q.shape
     nk = k.shape[2]
     del blk_cap  # resident-plan cap: the streaming plan is ~8M scoped vmem
-    blk_q = _pick_block_kvchunk(nq, kv_chunk)
+    blk_q = _pick_block_kvchunk(nq)
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
@@ -552,7 +569,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
         transcendentals=b * h * nq * nk,
     )
     if kv_chunk is not None:
-        blk_q = _pick_block_bwd(kv_chunk, nq)
+        blk_q = _pick_block_bwd_chunk(nq)
         dq = pl.pallas_call(
             functools.partial(
                 _flash_bwd_dq_chunk_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2

@@ -13,6 +13,8 @@ at compile; they're caught and reported as OOM.
 
 Chained in-graph timing (lax.scan + scalar feedback + jitted drain, bo3).
 """
+import sys
+sys.exit("OBSOLETE (r5): the int8 tap modes it sweeps (quant.set_int8_tap_mode: dy3/concat) were DELETED in r5 (sum9 is the only strategy; bench_logs_r4 records the negatives). This script is kept as the historical record of how the measurement was made; restore the deleted code from git history to re-run it.")
 import sys, time
 
 sys.path.insert(0, "/root/repo")

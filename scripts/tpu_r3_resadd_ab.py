@@ -3,6 +3,8 @@ on the full UNet fwd b2 int8 — the ResBlock skip+h add previously ran as a
 separate XLA pass over the Pallas conv output (one extra HBM write+read of h
 per block, ~30 blocks/step).  Chained in-graph timing per CLAUDE.md.
 """
+import sys
+sys.exit("OBSOLETE (r5): the LEFTREFILL_FUSED_RESADD/FFRES gates it toggles were DELETED in r5 (measured -1.0/-1.3% e2e, r4 bisect) - both arms would now run the SAME graph and 'confirm' nothing. This script is kept as the historical record of how the measurement was made; restore the deleted code from git history to re-run it.")
 import os
 import sys
 import time

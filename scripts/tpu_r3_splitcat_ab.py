@@ -4,6 +4,8 @@ materialized a (C1+C2)-wide bf16 tensor per output block (write + two reads:
 GN moments + quant pass); the split path runs per-part moments, per-part
 affine+SiLU+quant and split-kernel convs chained via the fused-res epilogue.
 Chained in-graph timing per CLAUDE.md."""
+import sys
+sys.exit("OBSOLETE (r5): the SPLIT_CAT/CONV_MOMENTS gates it toggles were DELETED in r5 (measured <=0% e2e, r4 bisect) - both arms would now run the SAME graph and 'confirm' nothing. This script is kept as the historical record of how the measurement was made; restore the deleted code from git history to re-run it.")
 import os
 import sys
 import time

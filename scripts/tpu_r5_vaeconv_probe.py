@@ -22,6 +22,8 @@ Decision: Pallas wins a shape class by >=10% -> wire the VAE conv dispatch
 (models/autoencoder._conv) onto conv3x3_apply with the extended plans and
 A/B the full decode + e2e in the chain; else record the negative.
 """
+import sys
+sys.exit("OBSOLETE (r5): the gated dispatcher it drove (ops/conv.conv3x3_apply_vae / _wide_plan) was DELETED in r5 after the clean e2e A/B lost (-6.8%, bench_logs_r5/bench_vaeconv_clean_r5b.log). This script is kept as the historical record of how the measurement was made; restore the deleted code from git history to re-run it.")
 import functools
 import sys
 import time

@@ -277,7 +277,7 @@ def test_kvchunk_sizing_pins():
     # (kvchunk16k_ab_r5c.log; streaming measures 79.6 TF/s there)
     assert fa._kv_chunk_for(16384) == 1024
     assert fa._kv_chunk_for(32768) == 1024  # V=4 multiview: streaming
-    assert fa._pick_block_kvchunk(32768, 1024) == 2048
+    assert fa._pick_block_kvchunk(32768) == 2048
     # non-power-of-two nq (V=3: 24576 = 2048*12) still gets the full block
     assert fa._kv_chunk_for(24576) == 1024
-    assert fa._pick_block_kvchunk(24576, 1024) == 2048
+    assert fa._pick_block_kvchunk(24576) == 2048
