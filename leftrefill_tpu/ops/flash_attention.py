@@ -143,6 +143,13 @@ def _pick_block_bwd_chunk(nq: int) -> int:
 # the q dim is chunked via a third grid axis with dk/dv accumulated in VMEM
 # scratch; every block stays small.
 DKV_Q_CHUNK = 512
+# dk/dv k-block (the blocked grid dim).  q/dO re-stream once per k block,
+# so larger would be less traffic — but the A/B (scripts/tpu_r5_dkv_ab.py,
+# bench_logs_r5/dkv_ab_r5c.log) measured 128/256/512 NEUTRAL at both the
+# V=4 (b*h=10, N=32768) and 1-ref train (b*h=40, N=8192) shapes: the
+# re-streaming is already hidden behind the kernel's five matmuls (unlike
+# the dq kernel, where blk_q=512 was -26%).  128 stays.
+DKV_BLOCK_K = 128
 
 # Largest Nk kept fully VMEM-resident.  Beyond it, K/V stream in chunks via
 # a third grid axis with o/l accumulated in VMEM scratch; the clamp-guard
@@ -606,7 +613,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
             cost_estimate=cost_dq,
         )(qf, kf, vf, gf, lf, df)
 
-    blk_k = min(DEFAULT_BLOCK_Q, nk)
+    blk_k = min(DKV_BLOCK_K, nk)
     # chunk must DIVIDE nq or the dkv grid floor-division silently drops the
     # tail q rows from dk/dv (caught by review at nq=640); nq % 128 == 0 is
     # dispatcher-guaranteed, so a valid chunk always exists
