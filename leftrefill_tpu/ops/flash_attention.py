@@ -123,14 +123,15 @@ def _pick_block_bwd(n_other: int, n_blocked: int) -> int:
     return min(blk, n_blocked)
 
 
-def _pick_block_bwd_chunk(nq: int) -> int:
+def _pick_block_bwd_chunk(nq: int, dtype=jnp.bfloat16) -> int:
     """STREAMING-dq block size: the four fp32 tiles are [blk_q, kv_chunk]
     (kv_chunk=1024), not [blk_q, nk], so blk_q can be far larger than the
     resident picker's 32-128 — and must be, for the forward's traffic math
     (K/V re-streams once per q block).  blk_q=512 puts the four tiles at
     8MB; 128 (the resident sizing the chunked path first shipped with)
-    re-streams 4x more K/V."""
-    blk = 512
+    re-streams 4x more K/V.  fp32 operands halve the block (the forward's
+    bf16-sized plan measured 1.62M over scoped vmem at f32 — same rule)."""
+    blk = 256 if dtype == jnp.float32 else 512
     while nq % blk:
         blk //= 2
     assert nq % blk == 0 and blk >= 128, (nq, blk)
@@ -177,7 +178,7 @@ def _kv_chunk_for(nk: int) -> int | None:
     return c
 
 
-def _pick_block_kvchunk(nq: int) -> int:
+def _pick_block_kvchunk(nq: int, dtype=jnp.bfloat16) -> int:
     """Streaming-path q block: K/V DMA traffic scales as (nq/blk_q)*nk — a
     small q block re-streams ALL of K/V once per block.  Measured at
     blk128/chunk8192 (b*h=10, N=32768): 47.1 TF/s, ~21GB of K/V DMA per ds1
@@ -188,8 +189,13 @@ def _pick_block_kvchunk(nq: int) -> int:
     bench_logs_r5/kvchunk_sweep_r5c.log): (1024,1024) 86.4 TF/s,
     (512,2048) 86.4, (1024,2048) 89.4, **(2048,1024) 89.5** — the 8MB
     fp32 score tile clears scoped vmem, and blk_q=2048 also halves the
-    (already-hidden) K/V re-streaming, so it wins the tie."""
-    blk = 2048
+    (already-hidden) K/V re-streaming, so it wins the tie.
+
+    fp32 inputs (fidelity reference runs) halve the block: the bf16-sized
+    blk2048 plan measured 17.62M scoped vmem at f32 nk=16384 (1.62M over —
+    bench_logs_r5/mv_v2_quality_stream_r5c.log first attempt); blk1024 is
+    the sizing the f32 V=4 quality cell ran at N=32768."""
+    blk = 1024 if dtype == jnp.float32 else 2048
     while nq % blk:
         blk //= 2
     # the dispatcher guarantees nq % 128 == 0, so the loop always lands on a
@@ -309,7 +315,7 @@ def _flash_forward_kvchunk(
     b, h, nq, d = q.shape
     nk = k.shape[2]
     del blk_cap  # resident-plan cap: the streaming plan is ~8M scoped vmem
-    blk_q = _pick_block_kvchunk(nq)
+    blk_q = _pick_block_kvchunk(nq, q.dtype)
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
@@ -576,7 +582,7 @@ def _flash_backward(q, k, v, o, l, g, scale):
         transcendentals=b * h * nq * nk,
     )
     if kv_chunk is not None:
-        blk_q = _pick_block_bwd_chunk(nq)
+        blk_q = _pick_block_bwd_chunk(nq, q.dtype)
         dq = pl.pallas_call(
             functools.partial(
                 _flash_bwd_dq_chunk_kernel, scale=scale, safe=_SAFE_SOFTMAX, exp2=_EXP2

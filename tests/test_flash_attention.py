@@ -278,6 +278,11 @@ def test_kvchunk_sizing_pins():
     assert fa._kv_chunk_for(16384) == 1024
     assert fa._kv_chunk_for(32768) == 1024  # V=4 multiview: streaming
     assert fa._pick_block_kvchunk(32768) == 2048
+    # fp32 halves both streaming blocks (bf16-sized plans measured over
+    # scoped vmem at f32: mv_v2_quality_stream_r5c.log first attempt)
+    assert fa._pick_block_kvchunk(32768, jnp.float32) == 1024
+    assert fa._pick_block_bwd_chunk(32768) == 512
+    assert fa._pick_block_bwd_chunk(32768, jnp.float32) == 256
     # non-power-of-two nq (V=3: 24576 = 2048*12) still gets the full block
     assert fa._kv_chunk_for(24576) == 1024
     assert fa._pick_block_kvchunk(24576) == 2048
